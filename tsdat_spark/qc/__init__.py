@@ -1,0 +1,21 @@
+"""QC algebra: checkers produce boolean failure-mask Columns, handlers are
+DataFrame stages consuming them (tsdat ``tsdat/qc`` re-expressed)."""
+
+from .checkers import (  # noqa: F401
+    QCContext,
+    check_delta,
+    check_mask_threshold,
+    check_max,
+    check_min,
+    check_missing,
+    check_monotonic,
+    check_std,
+)
+from .handlers import (  # noqa: F401
+    DataQualityError,
+    fail_pipeline,
+    record_quality_results,
+    remove_failed_values,
+    sort_by_coordinate,
+)
+from .manager import QCBit, QualityManager, apply_qc  # noqa: F401

@@ -1,0 +1,52 @@
+"""SparkSession factory with engine defaults.
+
+Local-mode testing (local[N]) but configured for the multi-executor case:
+AQE on (runtime partition coalescing + skew-join splitting), shuffle
+partitions sized to cores, Arrow enabled for all pandas-UDF exchanges,
+UTC session timezone so results are comparable with UTC-naive oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tsdat_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``cores=None`` → ``local[*]``. On a real cluster the master/deploy
+    settings come from spark-submit; everything set here is
+    cluster-agnostic tuning.
+    """
+    if cores is None:
+        cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(cores_env) if cores_env else 0
+    master = f"local[{cores}]" if cores else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cores if cores else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("TSDAT_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
