@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship pipeline on sf0.001: derive transcripts →
+  standardize-order → QC → engine 1m tier rollup (salted two-phase +
+  t-digest sketches).
+- ``queries()`` — one entry per implemented operator (SURVEY.md §2 and the
+  training-data ops), each (spark, sf_dir) -> DataFrame.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per oracle-checkable query.
+  Queries without an oracle entry (engine-native sketch/compression paths)
+  get the driver's rows-only check and are additionally covered by pytest.
 """
 
 from __future__ import annotations
@@ -12,27 +15,67 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsdat_spark import queries as Q
+from tsdat_spark.oracles import ORACLES
+from tsdat_spark.rollup import rollup_tier
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    t = Q.transcripts(spark, "/root/testdata/sf0.001")
+    tier = rollup_tier(
+        t, "1m", series_keys=["conv_id", "role"], ts_col="ts",
+        token_col="token_len", latency_col="latency_us", salt=4,
+    )
+    return tier.select(
+        "conv_id", "role", "bin_start", "bin_end",
+        "n_turns", "token_len_sum", "n_latency", "latency_p50", "latency_p95",
+    )
+
+
+def _tier_1m_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native 1m tier (t-digest path) — rows-only check; exactness
+    of counts/sums and sketch accuracy are covered in tests/test_rollup.py."""
+    t = Q.transcripts(spark, sf_dir)
+    tier = rollup_tier(t, "1m", series_keys=["conv_id", "role"], salt=4)
+    return tier.select(
+        "conv_id", "role", "bin_start", "n_turns", "token_len_sum",
+        "n_latency", F.round("latency_p50", 2).alias("latency_p50"),
+        F.round("latency_p95", 2).alias("latency_p95"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "standardize_transcripts": Q.q_standardize,
+        "rollup_1m": Q.q_rollup_1m,
+        "rollup_1h": Q.q_rollup_1h,
+        "rollup_1d": Q.q_rollup_1d,
+        "tier_summary_1h": Q.q_tier_summary_1h,
+        "qc_missing_text": Q.q_qc_missing_text,
+        "qc_monotonic_value": Q.q_qc_monotonic_value,
+        "qc_delta_value": Q.q_qc_delta_value,
+        "qc_range_value": Q.q_qc_range_value,
+        "qc_std_value": Q.q_qc_std_value,
+        "gap_fill_1h": Q.q_gap_fill_1h,
+        "bin_average_30m": Q.q_bin_average_30m,
+        "nearest_1h": Q.q_nearest_1h,
+        "interpolate_1h": Q.q_interpolate_1h,
+        "dedup_exact": Q.q_dedup_exact,
+        "token_count": Q.q_token_count,
+        "text_quality": Q.q_text_quality,
+        "lang_id": Q.q_lang_id,
+        "minhash_signatures": Q.q_minhash_signatures,
+        "lsh_pairs": Q.q_lsh_pairs,
+        "simhash16": Q.q_simhash16,
+        "jaccard_pairs": Q.q_jaccard_pairs,
+        "knn_cosine": Q.q_knn_cosine,
+        "embedding_top1": Q.q_embedding_top1,
+        "tier_1m_tdigest": _tier_1m_tdigest,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

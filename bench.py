@@ -1,0 +1,120 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra fields (harmless to the contract, used by BENCH notes):
+- rollup_points_per_sec: rolled-up 1m/1h/1d tier points per second on the
+  synthetic transcript table (the BASELINE.json target metric);
+- cold_encode_points_per_sec: gorilla cold-tier encode throughput.
+
+Scaling-efficiency evidence (north rule, N vs 4N executors) is produced by
+``scripts/scaling_bench.py`` which runs THIS suite at two parallelism
+levels; results are recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tsdat_spark.rollup import reaggregate_tier, rollup_tier, tier_summary
+    from tsdat_spark.session import get_spark
+    from tsdat_spark.io.coldstore import encode_cold_blocks
+    from tsdat_spark.standardize import with_token_len, with_turn_latency
+    from tsdat_spark.synth import SynthSpec, generate_transcripts
+    from tsdat_spark import queries as Q
+
+    spark = get_spark(app_name="tsdat_spark_bench", cores=cpus, shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def run(name, thunk):
+        t0 = time.time()
+        result = thunk()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        return result, dt
+
+    # --- oracle-suite queries on the driver's sf dir -----------------------
+    qs = entrymod.queries()
+    for name in (
+        "standardize_transcripts", "rollup_1m", "rollup_1h", "tier_summary_1h",
+        "qc_monotonic_value", "qc_std_value", "gap_fill_1h", "bin_average_30m",
+        "nearest_1h", "interpolate_1h", "dedup_exact", "token_count",
+        "text_quality", "knn_cosine",
+    ):
+        run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
+
+    # --- engine tier cascade on synthetic transcripts at matched scale -----
+    # sf0.1 ≈ 600k lineitem rows → size the synthetic table comparably
+    n_turns_target = max(int(6_000_000 * sf), 60_000)
+    n_convs = max(n_turns_target // 2_000, 8)
+    spec = SynthSpec(n_convs=n_convs, base_turns=2_000, n_mega=max(n_convs // 100, 1),
+                     mega_turns=40_000, partitions=cpus * 2)
+    synth = with_turn_latency(with_token_len(generate_transcripts(spark, spec)))
+    synth = synth.persist()
+    n_rows = synth.count()
+
+    t0 = time.time()
+    t1m = rollup_tier(synth, "1m", salt=8).persist()
+    n_1m = t1m.count()
+    timings["tier_1m_synth"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    t1h = reaggregate_tier(t1m, "1h").persist()
+    n_1h = t1h.count()
+    timings["tier_1h_reagg"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_1d = reaggregate_tier(t1h, "1d").count()
+    timings["tier_1d_reagg"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    tier_summary(t1m).write.format("noop").mode("overwrite").save()
+    timings["tier_summary_synth"] = round(time.time() - t0, 3)
+
+    rollup_sec = timings["tier_1m_synth"] + timings["tier_1h_reagg"] + timings["tier_1d_reagg"]
+    extra["synth_turns"] = n_rows
+    extra["rolled_up_points"] = n_1m + n_1h + n_1d
+    extra["rollup_points_per_sec"] = round((n_1m + n_1h + n_1d) / max(rollup_sec, 1e-9), 1)
+    extra["raw_turns_per_sec_1m"] = round(n_rows / max(timings["tier_1m_synth"], 1e-9), 1)
+
+    t0 = time.time()
+    blocks = encode_cold_blocks(synth.withColumn("v", F.col("turn_idx").cast("double")),
+                                ["conv_id"], "ts", "v")
+    stats = blocks.select(F.sum("n_points"), F.sum(F.length("block"))).first()
+    timings["cold_encode"] = round(time.time() - t0, 3)
+    extra["cold_encode_points_per_sec"] = round((stats[0] or 0) / max(timings["cold_encode"], 1e-9), 1)
+    extra["cold_bytes_per_point"] = round((stats[1] or 1) / max(stats[0] or 1, 1), 2)
+
+    t1m.unpersist(); t1h.unpersist(); synth.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "tsdat_spark_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

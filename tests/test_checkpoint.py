@@ -1,0 +1,67 @@
+"""Checkpoint/resume: manifests, partition-layout invariance, incremental
+invalidation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdat_spark.io.checkpoint import (
+    completed_partitions,
+    partition_manifests,
+    resume_remaining,
+    write_manifests,
+)
+from tsdat_spark.io.writers import read_tier, write_tier
+from tsdat_spark.synth import SynthSpec, generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def days_df(spark):
+    df = generate_transcripts(spark, SynthSpec(n_convs=20, base_turns=30, n_mega=0, mega_turns=0,
+                                               conv_spacing_s=9000, turn_gap_s=1800))
+    df.persist(); df.count()
+    yield df
+    df.unpersist()
+
+
+def test_manifest_layout_invariance(days_df):
+    m1 = {m.partition: m for m in partition_manifests(days_df, "ts")}
+    m2 = {m.partition: m for m in partition_manifests(days_df.repartition(17), "ts")}
+    assert m1.keys() == m2.keys()
+    for k in m1:
+        assert m1[k].content_hash == m2[k].content_hash
+        assert m1[k].n_rows == m2[k].n_rows
+
+
+def test_resume_skips_done_and_detects_changes(days_df, tmp_path):
+    table = str(tmp_path / "tier")
+    manifests = partition_manifests(days_df, "ts")
+    assert len(manifests) >= 2
+    # pretend the first day completed
+    write_manifests(table, manifests[:1])
+    assert set(completed_partitions(table)) == {manifests[0].partition}
+
+    remaining, todo, skipped = resume_remaining(days_df, table, "ts")
+    assert skipped == [manifests[0].partition]
+    assert {m.partition for m in todo} == {m.partition for m in manifests[1:]}
+    got_days = {r[0] for r in remaining.select(F.to_date("ts").cast("string")).distinct().collect()}
+    assert got_days == {m.partition for m in manifests[1:]}
+
+    # change the input for the "done" day → it must be invalidated
+    changed = days_df.withColumn(
+        "text", F.when(F.to_date("ts").cast("string") == manifests[0].partition, F.lit("CHANGED")).otherwise(F.col("text"))
+    )
+    _, todo2, skipped2 = resume_remaining(changed, table, "ts")
+    assert manifests[0].partition in {m.partition for m in todo2}
+    assert skipped2 == []
+
+
+def test_write_read_tier_roundtrip(days_df, tmp_path):
+    path = str(tmp_path / "t1m")
+    agg = days_df.groupBy("conv_id", F.date_trunc("hour", "ts").alias("bin_start")).count()
+    write_tier(agg, path, ts_col="bin_start")
+    back = read_tier(days_df.sparkSession, path)
+    assert back.count() == agg.count()
+    # partition pruning predicate works
+    days = sorted(r[0] for r in back.select("p_date").distinct().collect())
+    some = read_tier(days_df.sparkSession, path, start=str(days[-1]))
+    assert 0 < some.count() < back.count()

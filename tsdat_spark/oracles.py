@@ -1,0 +1,445 @@
+"""DuckDB oracle SQL for every oracle-checkable query in ``queries.py``.
+
+These run against DuckDB views named after the parquet tables (region,
+nation, ..., events, documents, embeddings). Column names and rounding are
+aligned 1:1 with the Spark implementations.
+"""
+
+from __future__ import annotations
+
+# Shared transcripts derivation (must mirror queries.transcripts exactly).
+TRANSCRIPTS_CTE = """
+WITH t0 AS (
+  SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         CASE WHEN event_type IN ('click','view') THEN 'user'
+              WHEN event_type = 'error' THEN 'tool'
+              ELSE 'assistant' END AS role,
+         props AS text,
+         CASE WHEN event_type = 'error' THEN 'search'
+              WHEN event_type = 'purchase' THEN 'code'
+              ELSE NULL END AS tool,
+         ts,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+), t AS (
+  SELECT *,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS latency_us,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) END AS token_len
+  FROM t0
+)
+"""
+
+_ROLLUP_TMPL = TRANSCRIPTS_CTE + """
+SELECT conv_id, role, date_trunc('{unit}', ts) AS bin_start,
+       COUNT(*) AS n_turns,
+       SUM(token_len) AS token_len_sum,
+       COUNT(latency_us) AS n_latency,
+       list_sort(list(latency_us) FILTER (latency_us IS NOT NULL))
+         [CAST(floor((COUNT(latency_us) - 1) * 0.5) AS INT) + 1] AS latency_p50,
+       list_sort(list(latency_us) FILTER (latency_us IS NOT NULL))
+         [CAST(floor((COUNT(latency_us) - 1) * 0.95) AS INT) + 1] AS latency_p95
+FROM t
+GROUP BY 1, 2, 3
+"""
+
+_QC_PREFIX = TRANSCRIPTS_CTE
+
+ORACLES: dict[str, str] = {
+    "standardize_transcripts": TRANSCRIPTS_CTE
+    + "SELECT conv_id, turn_idx, role, text, tool, ts, latency_us, token_len FROM t",
+    "rollup_1m": _ROLLUP_TMPL.format(unit="minute"),
+    "rollup_1h": _ROLLUP_TMPL.format(unit="hour"),
+    "rollup_1d": _ROLLUP_TMPL.format(unit="day"),
+    "tier_summary_1h": TRANSCRIPTS_CTE
+    + """
+SELECT role, date_trunc('hour', ts) AS bin_start,
+       COUNT(*) AS n_turns,
+       COUNT(DISTINCT conv_id) AS n_distinct_convs,
+       SUM(token_len) AS token_len_sum
+FROM t GROUP BY 1, 2
+""",
+    "qc_missing_text": _QC_PREFIX
+    + """
+SELECT conv_id, turn_idx,
+       CAST(text IS NULL OR text = '' AS INT) AS qc_text
+FROM t
+""",
+    # CheckMonotonic (auto direction): majority vote on consecutive diffs,
+    # then fail vs the running max (increasing) / min (decreasing) of all
+    # preceding values — check_monotonic.py:78-94 semantics.
+    "qc_qc_monotonic_value_placeholder": "",  # replaced below
+    "qc_delta_value": _QC_PREFIX
+    + """
+SELECT conv_id, turn_idx,
+       CAST(COALESCE(
+         abs(value - COALESCE(lag(value) OVER w, value)) > 30.0,
+         FALSE) AS INT) AS qc_delta
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+""",
+    "qc_range_value": _QC_PREFIX
+    + """
+SELECT conv_id, turn_idx,
+       CAST(CASE WHEN value < 5.0 THEN 1 ELSE 0 END
+          + CASE WHEN value > 95.0 THEN 2 ELSE 0 END AS INT) AS qc_value
+FROM t
+""",
+    "qc_std_value": _QC_PREFIX
+    + """
+SELECT conv_id, turn_idx,
+       CAST(COALESCE(
+         value > avg(value) OVER w + stddev_samp(value) OVER w * 2.0,
+         FALSE) AS INT) AS qc_std
+FROM t
+WINDOW w AS (PARTITION BY conv_id)
+""",
+    "gap_fill_1h": _QC_PREFIX
+    + """
+, agg AS (
+  SELECT conv_id, date_trunc('hour', ts) AS bin_start, COUNT(*) AS n
+  FROM t GROUP BY 1, 2
+), span AS (
+  SELECT conv_id, date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM t GROUP BY 1
+), grid AS (
+  SELECT conv_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bin_start
+  FROM span
+)
+SELECT g.conv_id, g.bin_start,
+       COALESCE(a.n, 0) AS n_turns,
+       CASE WHEN a.n IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM grid g LEFT JOIN agg a USING (conv_id, bin_start)
+""",
+    "dedup_exact": """
+SELECT md5(text) AS text_md5,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    "token_count": """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT) AS n_unique_tokens,
+       CAST(length(text) AS INT) AS n_chars_computed
+FROM documents
+""",
+    "text_quality": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_token_len,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS unique_ratio
+FROM d
+""",
+    "lang_id": """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x IN ('a', 'the', 'of', 'and'))) AS DOUBLE) / len(toks) AS ratio
+  FROM d
+)
+SELECT doc_id,
+       CASE WHEN ratio >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_pred,
+       round(ratio, 6) AS stopword_score
+FROM s
+""",
+    "knn_cosine": """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM e, q WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+""",
+}
+
+# --- dedup-family oracles: shared deterministic integer hashing -----------
+
+_HASH_CTE = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [array_to_string(toks, ' ')] END AS shingles,
+         toks
+  FROM d
+), hs AS (
+  SELECT doc_id,
+         list_transform(shingles, s ->
+           list_reduce(list_prepend(CAST(7 AS BIGINT),
+                                    list_transform(string_split(s, ''), ch -> CAST(ord(ch) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv,
+         toks
+  FROM sh
+)
+"""
+
+_MH_COLS = ",\n  ".join(
+    f"list_min(list_transform(hv, h -> ({2 * i + 1} * h + {7919 * i + 13}) % 2147483647)) AS mh{i}"
+    for i in range(16)
+)
+
+ORACLES["minhash_signatures"] = _HASH_CTE + f"SELECT doc_id,\n  {_MH_COLS}\nFROM hs"
+
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {j} AS band, "
+    + " || '_' || ".join(f"CAST(mh{j * 4 + r} AS VARCHAR)" for r in range(4))
+    + " AS key FROM sig"
+    for j in range(4)
+)
+ORACLES["lsh_pairs"] = (
+    _HASH_CTE
+    + f", sig AS (SELECT doc_id,\n  {_MH_COLS}\nFROM hs)\n"
+    + f", banded AS (\n{_BAND_SELECTS}\n)\n"
+    + """
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+WHERE l.doc_id < r.doc_id
+"""
+)
+
+_SIMHASH_BITS = "\n       + ".join(
+    f"CASE WHEN list_sum(list_transform(ht, h -> CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
+    for j in range(16)
+)
+ORACLES["simhash16"] = _HASH_CTE + f""", ht AS (
+  SELECT doc_id,
+         list_transform(toks, t ->
+           list_reduce(list_prepend(CAST(7 AS BIGINT),
+                                    list_transform(string_split(t, ''), ch -> CAST(ord(ch) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % 1000000007)) AS ht
+  FROM d
+)
+SELECT doc_id,
+       CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+FROM ht
+"""
+
+ORACLES["jaccard_pairs"] = """
+WITH d AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM d
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+             / len(list_distinct(l.sh || r.sh)), 6) AS jaccard
+FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
+"""
+
+ORACLES["embedding_top1"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.v)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+  FROM e, e q WHERE e.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+FROM ranked WHERE rnk = 1
+"""
+
+# --- transform oracles: identical arithmetic, same operand order, both
+# engines in IEEE float64, outputs rounded to 6 dp -------------------------
+
+_G0_US = 1704067200000000  # epoch µs of 2024-01-01 (EVENTS_GRID_START)
+
+ORACLES["bin_average_30m"] = """
+WITH src AS (
+  SELECT event_type, CAST(epoch_us(ts) AS DOUBLE) AS t, CAST(value AS DOUBLE) AS v
+  FROM events
+), b AS (
+  SELECT event_type, t, v,
+         COALESCE(t - lag(t) OVER w, lead(t) OVER w - t, 1800000000.0) AS width
+  FROM src WINDOW w AS (PARTITION BY event_type ORDER BY t)
+), ib AS (
+  SELECT event_type, v, t - width * 0.5 AS s, (t - width * 0.5) + width AS e FROM b
+), grid AS (
+  SELECT range AS j,
+         {g0} + range * 1800000000.0 - 1800000000.0 AS bs,
+         ({g0} + range * 1800000000.0 - 1800000000.0) + 1800000000.0 AS be
+  FROM range(0, 2880)
+), joined AS (
+  SELECT ib.event_type, ib.v, grid.j,
+         (least(ib.e, grid.be) - greatest(ib.s, grid.bs)) / (ib.e - ib.s) AS w
+  FROM ib JOIN grid
+    ON ib.s < grid.be AND ib.e > grid.bs AND ib.e > ib.s
+  WHERE (least(ib.e, grid.be) - greatest(ib.s, grid.bs)) > 0
+), agg AS (
+  SELECT event_type, j,
+         COUNT(*) AS n,
+         SUM(CASE WHEN v IS NOT NULL THEN w END) AS sw,
+         SUM(CASE WHEN v IS NOT NULL THEN w * v END) AS swx,
+         SUM(CASE WHEN v IS NOT NULL THEN w * v * v END) AS swx2,
+         SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS nbad,
+         SUM(CASE WHEN v IS NOT NULL THEN w * 1.0 END) AS good
+  FROM joined GROUP BY 1, 2
+), frame AS (
+  SELECT et.event_type, grid.j FROM (SELECT DISTINCT event_type FROM src) et, grid
+)
+SELECT f.event_type,
+       make_timestamp(CAST({g0} + f.j * 1800000000.0 AS BIGINT)) AS bin_label,
+       round(CASE WHEN sw > 0 THEN swx / sw END, 6) AS value_avg,
+       round(CASE WHEN sw > 0 THEN sqrt(greatest(swx2 / sw - (swx / sw) * (swx / sw), 0.0)) END, 6) AS value_std,
+       round(CASE WHEN sw > 0 THEN good / sw END, 6) AS value_goodfraction,
+       CAST(CASE WHEN a.n IS NULL THEN 129 ELSE
+         (CASE WHEN nbad > 0 AND nbad < n THEN 32 ELSE 0 END)
+       + (CASE WHEN nbad = n THEN 257 ELSE 0 END)
+       + (CASE WHEN 1.0 - CAST(nbad AS DOUBLE) / n < 0.05 THEN 2048 ELSE 0 END)
+       + (CASE WHEN 1.0 - CAST(nbad AS DOUBLE) / n < 0.15 THEN 4096 ELSE 0 END)
+       END AS INT) AS qc_value
+FROM frame f LEFT JOIN agg a ON f.event_type = a.event_type AND f.j = a.j
+""".format(g0=_G0_US)
+
+ORACLES["nearest_1h"] = TRANSCRIPTS_CTE + """
+, d AS (
+  SELECT conv_id, CAST(epoch_us(ts) AS DOUBLE) AS pos, 0 AS is_grid,
+         CAST(epoch_us(ts) AS DOUBLE) AS dts, value AS dv
+  FROM t
+), g AS (
+  SELECT c.conv_id, {g0} + r.range * 3600000000.0 AS pos, 1 AS is_grid,
+         CAST(NULL AS DOUBLE) AS dts, CAST(NULL AS DOUBLE) AS dv
+  FROM (SELECT DISTINCT conv_id FROM t) c, range(0, 1440) r
+), u AS (
+  SELECT * FROM d UNION ALL SELECT * FROM g
+), w AS (
+  SELECT conv_id, pos, is_grid,
+         last_value(dts IGNORE NULLS) OVER wp AS prev_ts,
+         last_value(dv IGNORE NULLS) OVER wp AS prev_v,
+         first_value(dts IGNORE NULLS) OVER wn AS next_ts,
+         first_value(dv IGNORE NULLS) OVER wn AS next_v
+  FROM u
+  WINDOW wp AS (PARTITION BY conv_id ORDER BY pos, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY conv_id ORDER BY pos, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), picked AS (
+  SELECT conv_id, pos,
+         CASE WHEN next_ts IS NOT NULL AND (prev_ts IS NULL OR (next_ts - pos) <= (pos - prev_ts))
+              THEN next_v ELSE prev_v END AS chosen,
+         CASE WHEN next_ts IS NOT NULL AND (prev_ts IS NULL OR (next_ts - pos) <= (pos - prev_ts))
+              THEN next_ts - pos ELSE pos - prev_ts END AS dist
+  FROM w WHERE is_grid = 1
+)
+SELECT conv_id,
+       make_timestamp(CAST(pos AS BIGINT)) AS bin_label,
+       round(CASE WHEN chosen IS NOT NULL AND dist <= 1800000000.0 THEN chosen END, 6) AS value_nn,
+       CAST(CASE WHEN chosen IS NOT NULL AND dist <= 1800000000.0 THEN 0 ELSE 129 END AS INT) AS qc_value
+FROM picked
+""".format(g0=_G0_US)
+
+ORACLES["interpolate_1h"] = TRANSCRIPTS_CTE + """
+, b AS (
+  SELECT conv_id, CAST(epoch_us(ts) AS DOUBLE) AS pos, value AS dv,
+         COALESCE(CAST(epoch_us(ts) AS DOUBLE) - lag(CAST(epoch_us(ts) AS DOUBLE)) OVER w,
+                  lead(CAST(epoch_us(ts) AS DOUBLE)) OVER w - CAST(epoch_us(ts) AS DOUBLE),
+                  3600000000.0) AS width,
+         row_number() OVER w AS rnk
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+), d AS (
+  SELECT conv_id, rnk, pos, dv,
+         pos - width * 0.5 AS ins, (pos - width * 0.5) + width AS ine
+  FROM b
+), g AS (
+  SELECT c.conv_id, {g0} + r.range * 3600000000.0 AS gpos
+  FROM (SELECT DISTINCT conv_id FROM t) c, range(0, 1440) r
+), u AS (
+  SELECT conv_id, pos AS upos, 0 AS is_grid, CAST(NULL AS DOUBLE) AS gpos FROM d
+  UNION ALL
+  SELECT conv_id, gpos AS upos, 1 AS is_grid, gpos FROM g
+), k AS (
+  SELECT conv_id, upos, is_grid, gpos,
+         SUM(1 - is_grid) OVER (PARTITION BY conv_id ORDER BY upos, is_grid
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kk
+  FROM u
+), cand AS (
+  SELECT conv_id, gpos, unnest([kk - 1, kk, kk + 1, kk + 2]) AS rnk
+  FROM k WHERE is_grid = 1
+), joined AS (
+  SELECT c.conv_id, c.gpos,
+         (d.ins + d.ine) * 0.5 AS mid, d.dv
+  FROM cand c JOIN d ON c.conv_id = d.conv_id AND c.rnk = d.rnk
+  WHERE d.ine > c.gpos - 3600000000.0 AND d.ins < c.gpos + 3600000000.0
+), agg AS (
+  SELECT conv_id, gpos,
+         list_sort(list(struct_pack(adist := abs(mid - gpos), x := mid, v := dv)))[1:2] AS near
+  FROM joined GROUP BY 1, 2
+), completed AS (
+  SELECT g.conv_id, g.gpos, a.near FROM g LEFT JOIN agg a USING (conv_id, gpos)
+)
+SELECT conv_id,
+       make_timestamp(CAST(gpos AS BIGINT)) AS bin_label,
+       round(CASE WHEN len(near) >= 2 THEN
+         CASE WHEN near[1].x <= gpos AND gpos <= near[2].x
+                THEN near[1].v + (near[2].v - near[1].v) / (near[2].x - near[1].x) * (gpos - near[1].x)
+              WHEN gpos < near[1].x
+                THEN near[1].v + (near[2].v - near[1].v) / (near[2].x - near[1].x) * (gpos - near[1].x)
+              ELSE near[2].v + (near[2].v - near[1].v) / (near[2].x - near[1].x) * (gpos - near[2].x)
+         END
+       END, 6) AS value_li,
+       CAST(CASE WHEN near IS NULL OR len(near) < 2 THEN 129
+                 WHEN (near[1].x < gpos AND near[2].x < gpos)
+                   OR (near[1].x > gpos AND near[2].x > gpos) THEN 8
+                 ELSE 0 END AS INT) AS qc_value
+FROM completed
+""".format(g0=_G0_US)
+
+ORACLES["qc_monotonic_value"] = _QC_PREFIX + """
+, lagged AS (
+  SELECT conv_id, turn_idx, value,
+         max(value) OVER wprev AS run_max,
+         min(value) OVER wprev AS run_min,
+         lag(value) OVER wo AS prev_value
+  FROM t
+  WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx),
+         wprev AS (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), d AS (
+  SELECT *,
+         SUM(CASE WHEN value > prev_value THEN 1 ELSE 0 END) OVER wc AS n_up,
+         SUM(CASE WHEN value < prev_value THEN 1 ELSE 0 END) OVER wc AS n_down
+  FROM lagged
+  WINDOW wc AS (PARTITION BY conv_id)
+)
+SELECT conv_id, turn_idx,
+       CAST(CASE
+         WHEN n_up >= n_down
+           THEN COALESCE(value <= run_max, FALSE)
+         ELSE COALESCE(value >= run_min, FALSE)
+       END AS INT) AS qc_monotonic
+FROM d
+"""
+del ORACLES["qc_qc_monotonic_value_placeholder"]

@@ -1,0 +1,369 @@
+"""Driver-contract query implementations (Spark side).
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose result is
+deterministic and column-name-aligned with the DuckDB oracle SQL in
+``tsdat_spark.oracles`` — the correctness gate runs both and compares
+row-count + schema + order-insensitive value hashes.
+
+Determinism discipline:
+- integer/count outputs are exact;
+- float aggregate outputs are ``round(x, 6)`` on BOTH sides so FP sum-order
+  ulp noise cannot flip the hash;
+- percentiles in oracle-checked rollups use the *lower discrete* quantile
+  (sorted-list indexing) which is integer-exact and scale-independent; the
+  engine's scalable t-digest path is exercised by ``tier_1m_tdigest`` (a
+  rows-only check) and by the pytest suite.
+
+The transcripts table required by BASELINE.json's input_hint is derived
+deterministically from the driver's ``events`` table (pure relational
+derivation both engines can compute): conv = user, turn order = (ts,
+event_id), role/tool from event_type, text = props.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .qc import QCContext, check_delta, check_max, check_min, check_missing, check_monotonic, check_std
+from .transform import GridSpec, bin_average, interpolate_linear, nearest_neighbor
+from .transform.bin_average import VarQC
+
+EVENTS_GRID_START = "2024-01-01"
+EVENTS_GRID_STOP = "2024-03-01"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The engine's time arithmetic (unix_micros / epoch binning) is defined
+    # over UTC; the driver's session may not be. Pin it (runtime-settable)
+    # and normalize parquet TIMESTAMP_NTZ to session timestamps.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts derivation from events (see module doc).
+
+    Output: conv_id, turn_idx, role, text, tool, ts (+ value carried as a
+    numeric measurement for QC demos, latency_us, token_len).
+    """
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "error", "tool")
+        .otherwise("assistant")
+        .alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "error", "search")
+        .when(F.col("event_type") == "purchase", "code")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        F.col("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    wc = W.partitionBy("conv_id").orderBy("turn_idx")
+    cur = F.unix_micros(F.col("ts"))
+    t = t.withColumn("latency_us", cur - F.lag(cur).over(wc))
+    tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast("long")
+    t = t.withColumn("token_len", F.when(F.col("text").isNull(), F.lit(None).cast("long")).otherwise(tokens))
+    return t
+
+
+def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "latency_us", "token_len"
+    )
+
+
+def _discrete_quantile(col: str, q: float):
+    """Lower discrete quantile: element at ⌊(n−1)·q⌋ of the sorted non-null
+    values. Integer-exact, order-insensitive — the oracle-safe percentile."""
+    arr = F.sort_array(F.collect_list(F.col(col)))
+    idx = F.floor((F.size(arr) - 1) * F.lit(q)).cast("int") + 1
+    return F.when(F.size(arr) > 0, F.element_at(arr, idx))
+
+
+def _rollup(spark, sf_dir, trunc: str) -> DataFrame:
+    t = transcripts(spark, sf_dir)
+    return (
+        t.groupBy("conv_id", "role", F.date_trunc(trunc, "ts").alias("bin_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("token_len").alias("token_len_sum"),
+            F.count("latency_us").alias("n_latency"),
+            _discrete_quantile("latency_us", 0.5).alias("latency_p50"),
+            _discrete_quantile("latency_us", 0.95).alias("latency_p95"),
+        )
+    )
+
+
+def q_rollup_1m(spark, sf_dir):
+    return _rollup(spark, sf_dir, "minute")
+
+
+def q_rollup_1h(spark, sf_dir):
+    return _rollup(spark, sf_dir, "hour")
+
+
+def q_rollup_1d(spark, sf_dir):
+    return _rollup(spark, sf_dir, "day")
+
+
+def q_tier_summary_1h(spark, sf_dir):
+    t = transcripts(spark, sf_dir)
+    return (
+        t.groupBy("role", F.date_trunc("hour", "ts").alias("bin_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_distinct_convs"),
+            F.sum("token_len").alias("token_len_sum"),
+        )
+    )
+
+
+_CTX = QCContext(series_keys=("conv_id",), order_cols=("turn_idx",))
+
+
+def q_qc_missing_text(spark, sf_dir):
+    t = transcripts(spark, sf_dir)
+    mask = check_missing(F.col("text"), kind="string")
+    return t.select("conv_id", "turn_idx", mask.cast("int").alias("qc_text"))
+
+
+def q_qc_monotonic_value(spark, sf_dir):
+    t = transcripts(spark, sf_dir)
+    mask = check_monotonic(_CTX, F.col("value"), direction="auto")
+    return t.select("conv_id", "turn_idx", mask.cast("int").alias("qc_monotonic"))
+
+
+def q_qc_delta_value(spark, sf_dir):
+    t = transcripts(spark, sf_dir)
+    mask = check_delta(_CTX, F.col("value"), threshold=30.0)
+    return t.select("conv_id", "turn_idx", mask.cast("int").alias("qc_delta"))
+
+
+def q_qc_range_value(spark, sf_dir):
+    """Bit-packed range check: bit1 = below min 5, bit2 = above max 95
+    (RecordQualityResults bit layout)."""
+    t = transcripts(spark, sf_dir)
+    qc = (
+        F.when(check_min(F.col("value"), 5.0), 1).otherwise(0)
+        + F.when(check_max(F.col("value"), 95.0), 2).otherwise(0)
+    )
+    return t.select("conv_id", "turn_idx", qc.cast("int").alias("qc_value"))
+
+
+def q_qc_std_value(spark, sf_dir):
+    t = transcripts(spark, sf_dir)
+    mask = check_std(_CTX, F.col("value"), n_std=2.0)
+    return t.select("conv_id", "turn_idx", mask.cast("int").alias("qc_std"))
+
+
+def q_gap_fill_1h(spark, sf_dir):
+    """Per-conv hourly grid between first and last turn, left-joined with
+    counts; gap hours appear with n_turns=0, is_gap=1 (tsdat CreateTimeGrid
+    + missing-bin semantics, SURVEY §2.4)."""
+    t = transcripts(spark, sf_dir)
+    agg = t.groupBy("conv_id", F.date_trunc("hour", "ts").alias("bin_start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = t.groupBy("conv_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.date_trunc("hour", F.max("ts")).alias("hi")
+    )
+    grid = span.select(
+        "conv_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bin_start"),
+    )
+    out = grid.join(agg, ["conv_id", "bin_start"], "left")
+    return out.select(
+        "conv_id", "bin_start",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_turns"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+def q_bin_average_30m(spark, sf_dir):
+    """Overlap-weighted 30-min bin average of events.value per event_type
+    (the engine's core transform on the driver's real table)."""
+    ev = _events(spark, sf_dir)
+    grid = GridSpec(EVENTS_GRID_START, EVENTS_GRID_STOP, interval_s=1800, alignment="right")
+    out = bin_average(
+        ev, grid, series_keys=["event_type"], ts_col="ts", value_cols=["value"],
+        filter_bad_qc=False, add_metrics=True,
+    )
+    return out.select(
+        "event_type",
+        F.col("label").alias("bin_label"),
+        F.round("value", 6).alias("value_avg"),
+        F.round("value_std", 6).alias("value_std"),
+        F.round("value_goodfraction", 6).alias("value_goodfraction"),
+        "qc_value",
+    )
+
+
+def q_nearest_1h(spark, sf_dir):
+    """Nearest-neighbor reindex of each conversation's value onto the hourly
+    grid, tolerance 1800 s (tsdat NearestNeighbor, as-of-both-directions)."""
+    t = transcripts(spark, sf_dir)
+    grid = GridSpec(EVENTS_GRID_START, EVENTS_GRID_STOP, interval_s=3600)
+    out = nearest_neighbor(t, grid, ["conv_id"], "ts", ["value"], tolerance_s=1800)
+    return out.select("conv_id", F.col("label").alias("bin_label"),
+                      F.round("value", 6).alias("value_nn"), "qc_value")
+
+
+def q_interpolate_1h(spark, sf_dir):
+    """Linear interpolation of each conversation's value onto the hourly
+    grid, range 3600 s (tsdat LinearInterpolate semantics incl. QC bits)."""
+    t = transcripts(spark, sf_dir)
+    grid = GridSpec(EVENTS_GRID_START, EVENTS_GRID_STOP, interval_s=3600)
+    out = interpolate_linear(t, grid, ["conv_id"], "ts", ["value"], range_s=3600)
+    return out.select("conv_id", F.col("label").alias("bin_label"),
+                      F.round("value", 6).alias("value_li"), "qc_value")
+
+
+# --------------------------- documents: text ops ---------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: keeper = min doc_id per md5(text)."""
+    d = _documents(spark, sf_dir)
+    return d.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Length / stopword-ratio / mean-word-length quality signals."""
+    d = _documents(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda x: x.isin("a", "the")))
+    mean_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")).cast("double") / n
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(stop.cast("double") / n, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6).alias("unique_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-heuristic language id: 'en' iff ≥2% stopword tokens,
+    else 'unknown' (deterministic n-gram-free heuristic)."""
+    d = _documents(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ratio = F.size(F.filter(toks, lambda x: x.isin("a", "the", "of", "and"))).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.when(ratio >= 0.02, "en").otherwise("unknown").alias("lang_pred"),
+        F.round(ratio, 6).alias("stopword_score"),
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """16-function MinHash signature per document (Broder near-dup sketch;
+    deterministic integer hashing shared with the oracle)."""
+    from .text.dedup import minhash_signature
+
+    d = _documents(spark, sf_dir)
+    return minhash_signature(d.select("doc_id", "text"), "text", k=16).drop("text")
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """LSH candidate near-dup pairs (4 bands × 4 rows over the MinHash
+    signature) — O(docs·bands) shuffle, never all-pairs."""
+    from .text.dedup import lsh_candidate_pairs, minhash_signature
+
+    d = _documents(spark, sf_dir)
+    sig = minhash_signature(d.select("doc_id", "text"), "text", k=16)
+    return lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
+
+
+def q_simhash16(spark, sf_dir):
+    from .text.dedup import simhash
+
+    d = _documents(spark, sf_dir)
+    return simhash(d.select("doc_id", "text"), "text", bits=16).drop("text")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard similarity for same-source document pairs."""
+    from .text.dedup import jaccard_pairs
+
+    d = _documents(spark, sf_dir)
+    return jaccard_pairs(d, "doc_id", "text", block_col="source")
+
+
+# --------------------------- embeddings: vector ops ------------------------
+
+
+def _norm(c):
+    """Euclidean norm of an array column (sequential fold — deterministic)."""
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def q_embedding_top1(spark, sf_dir):
+    """Nearest-neighbor (top-1 cosine) per vector — the embedding near-dup
+    primitive (pairs above a cosine threshold are dup candidates)."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))  # norm per ROW, never per pair
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
+    pairs = e.join(q, F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("nrm") * F.col("qnrm"))
+    scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") == 1)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 20.
+
+    Baseline ANN path: broadcast the (tiny) query side, JVM-side fold for
+    the dot product (F.aggregate — sequential, deterministic), window top-k."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("nrm") * F.col("qnrm"))
+    scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,144 @@
+"""Mergeable t-digest quantile sketch (pure numpy, vectorized build).
+
+Implements the *merging* t-digest of Dunning & Ertl, "Computing Extremely
+Accurate Quantiles Using t-Digests" (arXiv:1902.04023) with the k1 scale
+function k(q) = (δ/2π)·asin(2q−1): centroids are size-bounded so that each
+spans at most one unit of k, giving ~δ centroids with relative accuracy
+concentrated at the tails.
+
+Why this exists: the tier cascade (1m → 1h → 1d) must re-aggregate
+latency percentiles WITHOUT re-reading raw turns; exact percentiles are not
+mergeable, t-digests are (merge = concat centroids + recompress, associative
+up to sketch error). Serialized digests ride along tier rows as a binary
+column; merging happens in Arrow-vectorized applyInPandas stages.
+
+The build is vectorized: sort once, take cumulative weights, map to k-space,
+and cut clusters where ⌊k⌋ advances — ``np.add.reduceat`` does all
+per-cluster sums. No per-point Python loop (the reference engine's per-bin
+loops are exactly what we refuse to reproduce — SURVEY §4.1).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+_MAGIC = b"TD01"
+
+
+@dataclass
+class TDigest:
+    means: np.ndarray  # float64, sorted ascending
+    weights: np.ndarray  # float64, > 0
+    min_val: float
+    max_val: float
+    compression: float = 100.0
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def empty(compression: float = 100.0) -> "TDigest":
+        return TDigest(np.empty(0), np.empty(0), np.inf, -np.inf, compression)
+
+    @staticmethod
+    def from_values(values: np.ndarray, compression: float = 100.0) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return TDigest.empty(compression)
+        v = np.sort(v)
+        means, weights = _compress(v, np.ones_like(v), compression)
+        return TDigest(means, weights, float(v[0]), float(v[-1]), compression)
+
+    @staticmethod
+    def merge_all(digests: list["TDigest"], compression: float | None = None) -> "TDigest":
+        digests = [d for d in digests if d.weights.size]
+        if not digests:
+            return TDigest.empty(compression or 100.0)
+        comp = compression or digests[0].compression
+        means = np.concatenate([d.means for d in digests])
+        weights = np.concatenate([d.weights for d in digests])
+        order = np.argsort(means, kind="mergesort")
+        means, weights = _compress(means[order], weights[order], comp)
+        return TDigest(
+            means,
+            weights,
+            min(d.min_val for d in digests),
+            max(d.max_val for d in digests),
+            comp,
+        )
+
+    # -- queries -------------------------------------------------------------
+
+    @property
+    def total_weight(self) -> float:
+        return float(self.weights.sum())
+
+    def quantile(self, q: float) -> float:
+        """Standard t-digest quantile: linear interpolation between centroid
+        means at cumulative mid-weights, clamped to observed min/max."""
+        n = self.weights.size
+        if n == 0:
+            return float("nan")
+        if n == 1:
+            return float(self.means[0])
+        W = self.weights.sum()
+        target = q * W
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= cum[0]:
+            # interpolate between true min and first centroid
+            frac = target / cum[0] if cum[0] > 0 else 0.0
+            return float(self.min_val + frac * (self.means[0] - self.min_val))
+        if target >= cum[-1]:
+            denom = W - cum[-1]
+            frac = (target - cum[-1]) / denom if denom > 0 else 0.0
+            return float(self.means[-1] + frac * (self.max_val - self.means[-1]))
+        idx = np.searchsorted(cum, target) - 1
+        span = cum[idx + 1] - cum[idx]
+        frac = (target - cum[idx]) / span if span > 0 else 0.0
+        return float(self.means[idx] + frac * (self.means[idx + 1] - self.means[idx]))
+
+    # -- serialization --------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        header = struct.pack("<4sdddI", _MAGIC, self.compression, self.min_val, self.max_val, self.means.size)
+        return header + self.means.astype("<f8").tobytes() + self.weights.astype("<f8").tobytes()
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "TDigest":
+        magic, comp, mn, mx, n = struct.unpack_from("<4sdddI", data, 0)
+        if magic != _MAGIC:
+            raise ValueError("not a TD01 t-digest blob")
+        off = struct.calcsize("<4sdddI")
+        means = np.frombuffer(data, dtype="<f8", count=n, offset=off).copy()
+        weights = np.frombuffer(data, dtype="<f8", count=n, offset=off + 8 * n).copy()
+        return TDigest(means, weights, mn, mx, comp)
+
+
+def _k(q: np.ndarray, compression: float) -> np.ndarray:
+    # k1 scale; the δ/π constant makes the total k-span equal δ (asin spans
+    # [-π/2, π/2]), so compression=100 yields ~100 centroids.
+    return compression / np.pi * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
+
+
+def _compress(means: np.ndarray, weights: np.ndarray, compression: float):
+    """Cluster sorted (mean, weight) pairs so each cluster spans ≤1 unit of
+    the k1 scale. Fully vectorized: cluster ids come from the floor of the
+    k-value at each pair's *left* cumulative weight; per-cluster weighted
+    means via np.add.reduceat."""
+    W = weights.sum()
+    if means.size <= 1 or W <= 0:
+        return means.copy(), weights.copy()
+    q_left = (np.cumsum(weights) - weights) / W
+    k_left = _k(q_left, compression)
+    # new cluster whenever floor(k_left) advances
+    cluster_change = np.empty(means.size, dtype=bool)
+    cluster_change[0] = True
+    fk = np.floor(k_left)
+    cluster_change[1:] = fk[1:] != fk[:-1]
+    starts = np.flatnonzero(cluster_change)
+    w_sum = np.add.reduceat(weights, starts)
+    m_sum = np.add.reduceat(weights * means, starts)
+    return m_sum / w_sum, w_sum

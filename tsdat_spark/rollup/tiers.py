@@ -1,0 +1,195 @@
+"""Retention-tier rollups: 1m / 1h / 1d continuous aggregates.
+
+The engine's headline pipeline (BASELINE.json north rule): per
+(conv_id, tool, role) series, every tier row carries
+
+    n_turns, token_len_sum, n_latency, latency_p50/p95, latency_tdigest
+
+where the t-digest is a *mergeable* binary sketch, so coarser tiers are
+computed by RE-AGGREGATING the finer tier (merge digests, add counts) —
+never by re-reading raw turns. This is the continuous-aggregate design of
+TimescaleDB/Druid-style rollup stores re-expressed on Spark.
+
+Two-phase skew-safe plan (tsdat has no notion of this; mandatory at 10^12
+turns):
+
+  phase 1 — **map-side partial aggregation, zero shuffle**: one
+     ``mapInPandas`` pass over the natural input partitions; a pandas
+     groupby inside each Arrow batch emits one partial row
+     (count, sum, digest) per (series, bin) seen in that batch. A
+     mega-conversation is spread across many input partitions, so no task
+     ever holds a whole hot key — the partition index acts as the salt
+     (the generalized form of salted two-phase rollup; an explicit
+     ``salt`` column would only re-shuffle raw rows to achieve the same
+     partial independence this gets for free).
+  phase 2 — **merge, one small shuffle**: partials (≈ one row per
+     (series, bin) per upstream batch — orders of magnitude smaller than
+     the raw data) groupBy (series, bin) and merge: counts add, digests
+     merge associatively.
+
+Plain counts/sums are algebraic and Spark's hash aggregate would combine
+them map-side anyway; the pandas phases exist for the digest, which Spark
+has no built-in mergeable equivalent for (percentile_approx is not
+re-aggregable across tiers).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .tdigest import TDigest
+
+TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+_PARTIAL_FIELDS = (
+    "n_turns long, token_len_sum long, n_latency long, latency_tdigest binary"
+)
+_FINAL_FIELDS = (
+    "n_turns long, token_len_sum long, n_latency long, "
+    "latency_p50 double, latency_p95 double, latency_tdigest binary"
+)
+
+
+def _tier_window(ts_col: str, tier: str):
+    secs = TIER_SECONDS[tier]
+    return F.timestamp_seconds((F.unix_micros(F.col(ts_col)) / 1_000_000 / secs).cast("long") * secs)
+
+
+def _key_schema(df: DataFrame, keys: list[str]) -> str:
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return ", ".join(f"{k} {by_name[k]}" for k in keys)
+
+
+def _digest_of_group(lat: np.ndarray, compression: float) -> bytes:
+    return TDigest.from_values(lat, compression).to_bytes()
+
+
+def _merge_partials(partial: DataFrame, keys: list[str], final_schema: str, compression: float) -> DataFrame:
+    """Phase 2: hash-repartition partial rows on the group keys, then merge
+    each partition in ONE Python call (pd.concat + groupby) — one output
+    row per (series, bin), never a per-group Python invocation. Partial
+    rows are tiny (one per group per upstream batch), so whole-partition
+    concat is safe."""
+
+    def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [b for b in batches if not b.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        grouped = pdf.groupby(keys, dropna=False, sort=False, observed=True)
+        out = grouped.agg(
+            n_turns=("n_turns", "sum"),
+            token_len_sum=("token_len_sum", "sum"),
+            n_latency=("n_latency", "sum"),
+        ).reset_index()
+        p50, p95, blobs = [], [], []
+        for _, g in grouped:
+            digest = TDigest.merge_all([TDigest.from_bytes(b) for b in g["latency_tdigest"]], compression)
+            p50.append(digest.quantile(0.5))
+            p95.append(digest.quantile(0.95))
+            blobs.append(digest.to_bytes())
+        out["latency_p50"] = p50
+        out["latency_p95"] = p95
+        out["latency_tdigest"] = blobs
+        yield out[[*keys, "n_turns", "token_len_sum", "n_latency",
+                   "latency_p50", "latency_p95", "latency_tdigest"]]
+
+    return partial.repartition(*keys).mapInPandas(merge_partition, final_schema)
+
+
+def rollup_tier(
+    df: DataFrame,
+    tier: str,
+    series_keys: list[str] = ("conv_id", "tool", "role"),
+    ts_col: str = "ts",
+    token_col: str = "token_len",
+    latency_col: str = "latency_us",
+    salt: int = 0,  # kept for API compat; phase-1 partials make it moot
+    compression: float = 100.0,
+) -> DataFrame:
+    """Raw turns → one tier (two-phase, see module docstring)."""
+    series_keys = list(series_keys)
+    secs = TIER_SECONDS[tier]
+    binned = df.select(
+        *series_keys,
+        _tier_window(ts_col, tier).alias("bin_start"),
+        F.col(token_col).alias("__tok"),
+        F.col(latency_col).cast("double").alias("__lat"),
+    )
+
+    keys = [*series_keys, "bin_start"]
+    key_schema = _key_schema(binned, series_keys)
+    partial_schema = f"{key_schema}, bin_start timestamp, {_PARTIAL_FIELDS}"
+    final_schema = f"{key_schema}, bin_start timestamp, {_FINAL_FIELDS}"
+
+    def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            grouped = pdf.groupby(keys, dropna=False, sort=False, observed=True)
+            out = grouped.agg(
+                n_turns=("__tok", "size"),
+                token_len_sum=("__tok", "sum"),
+                n_latency=("__lat", "count"),
+            ).reset_index()
+            out["token_len_sum"] = out["token_len_sum"].fillna(0).astype("int64")
+            # same GroupBy object ⇒ same first-occurrence group order as agg
+            out["latency_tdigest"] = [
+                _digest_of_group(g["__lat"].to_numpy(np.float64, na_value=np.nan), compression)
+                for _, g in grouped
+            ]
+            yield out[[*keys, "n_turns", "token_len_sum", "n_latency", "latency_tdigest"]]
+
+    partial = binned.mapInPandas(phase1, partial_schema)
+    out = _merge_partials(partial, keys, final_schema, compression)
+    return out.withColumn("bin_end", F.col("bin_start") + F.expr(f"INTERVAL {secs} SECOND"))
+
+
+def reaggregate_tier(
+    tier_df: DataFrame,
+    to_tier: str,
+    series_keys: list[str] = ("conv_id", "tool", "role"),
+    compression: float = 100.0,
+) -> DataFrame:
+    """Finer tier → coarser tier by merging (counts add, digests merge).
+
+    Verifiable invariant (tested): re-aggregation equals the direct rollup
+    of the raw data up to t-digest sketch error; counts/sums are exact.
+    """
+    series_keys = list(series_keys)
+    secs = TIER_SECONDS[to_tier]
+    df = tier_df.withColumn("bin_start", _tier_window("bin_start", to_tier))
+    keys = [*series_keys, "bin_start"]
+
+    key_schema = _key_schema(df, series_keys)
+    final_schema = f"{key_schema}, bin_start timestamp, {_FINAL_FIELDS}"
+
+    partial = df.select(*keys, "n_turns", "token_len_sum", "n_latency", "latency_tdigest")
+    out = _merge_partials(partial, keys, final_schema, compression)
+    return out.withColumn("bin_end", F.col("bin_start") + F.expr(f"INTERVAL {secs} SECOND"))
+
+
+def tier_summary(
+    tier_df: DataFrame,
+    by: list[str] = ("tool", "role"),
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Cross-conversation summary at (by..., bin_start) grain.
+
+    ``n_distinct_convs`` is EXACT here: the finer tier still carries
+    conv_id, so distinct-count happens at this rollup grain rather than by
+    (impossible) merging of per-conv distinct counts — the tier-boundary
+    semantics SURVEY §7.4 pins down. Spark plans countDistinct as a
+    two-phase expand + partial agg (skew-safe).
+    """
+    return tier_df.groupBy(*by, "bin_start").agg(
+        F.sum("n_turns").alias("n_turns"),
+        F.countDistinct(F.col(conv_col)).alias("n_distinct_convs"),
+        F.sum("token_len_sum").alias("token_len_sum"),
+        F.sum("n_latency").alias("n_latency"),
+    )

@@ -68,16 +68,29 @@ class VarQC:
     ind_mask: int = 0
 
 
-def _input_bounds_us(df: DataFrame, series_keys: list[str], ts_col: str, fallback_width_us: int):
-    """Center-aligned input bounds from labels (create_bounds_from_labels
-    with width=diff(labels), first diff duplicated). Returns df with
-    __ts_us/__in_start/__in_end (double epoch-us) added. One window scan."""
+_IN_ALIGN = {"left": 0.0, "center": 0.5, "right": 1.0}
+
+
+def _input_bounds_us(
+    df: DataFrame,
+    series_keys: list[str],
+    ts_col: str,
+    fallback_width_us: int,
+    alignment: str | float = "center",
+):
+    """Input bounds inferred from labels (``create_bounds_from_labels``:
+    width = diff(labels) with the first diff duplicated; tsdat infers
+    CENTER alignment when no stored bounds exist — ``calculate_bin_average
+    .py:57-60`` — but stored bounds may be e.g. LEFT-aligned, hence the
+    ``alignment`` knob). Adds __ts_us/__in_start/__in_end (double epoch-us).
+    One window scan."""
+    a = _IN_ALIGN[alignment] if isinstance(alignment, str) else float(alignment)
     w = W.partitionBy(*series_keys).orderBy(ts_col)
     ts_us = F.unix_micros(F.col(ts_col)).cast("double")
     prev = F.lag(ts_us).over(w)
     nxt = F.lead(ts_us).over(w)
     width = F.coalesce(ts_us - prev, nxt - ts_us, F.lit(float(fallback_width_us)))
-    start = ts_us - width / 2.0
+    start = ts_us - width * a
     return (
         df.withColumn("__ts_us", ts_us)
         .withColumn("__in_start", start)
@@ -121,6 +134,7 @@ def bin_average(
     filter_bad_qc: bool = False,
     add_metrics: bool = True,
     complete_grid: bool = True,
+    input_alignment: str | float = "center",
 ) -> DataFrame:
     """Weighted bin average of ``value_cols`` onto ``grid`` per series.
 
@@ -130,8 +144,11 @@ def bin_average(
     """
     qc = qc or {}
     spark = df.sparkSession
+    # capture the full series frame BEFORE the overlap filter, so a series
+    # with zero in-grid samples still gets its (empty, QC 129) bins
+    all_series = df.select(*series_keys).distinct() if series_keys else None
 
-    df = _input_bounds_us(df, series_keys, ts_col, grid.interval_us)
+    df = _input_bounds_us(df, series_keys, ts_col, grid.interval_us, input_alignment)
     df = explode_candidate_bins(df, grid)
 
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n"), F.sum("__weight").alias("__sum_raw_w")]
@@ -158,10 +175,11 @@ def bin_average(
 
     agg = df.groupBy(*series_keys, "bin_idx").agg(*aggs)
 
-    if complete_grid:
-        series = df.select(*series_keys).distinct()
-        frame = series.crossJoin(F.broadcast(grid_dataframe(spark, grid)))
+    if complete_grid and all_series is not None:
+        frame = all_series.crossJoin(F.broadcast(grid_dataframe(spark, grid)))
         agg = frame.join(agg, [*series_keys, "bin_idx"], "left")
+    elif complete_grid:
+        agg = grid_dataframe(spark, grid).join(agg, "bin_idx", "left")
     else:
         g = grid_dataframe(spark, grid)
         agg = agg.join(F.broadcast(g), "bin_idx", "left")
