@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": Q.q_jaccard_pairs,
         "knn_cosine": Q.q_knn_cosine,
         "embedding_top1": Q.q_embedding_top1,
+        "ann_lsh": Q.q_ann_lsh,
         "tier_1m_tdigest": _tier_1m_tdigest,
     }
 

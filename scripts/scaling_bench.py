@@ -37,17 +37,25 @@ spark = get_spark(app_name=f"scaling_{{cores}}", cores=cores, shuffle_partitions
 n_convs = max(n_turns // 4000, 8)
 spec = SynthSpec(n_convs=n_convs, base_turns=4000, n_mega=max(n_convs // 100, 1),
                  mega_turns=80_000, partitions=cores * 4)
-base = with_turn_latency(with_token_len(generate_transcripts(spark, spec)))
-base = base.persist()
-n = base.count()  # materialize input once, outside the timed window
-
+import tempfile
+tmp = tempfile.mkdtemp(prefix="tiers_")
+# materialize the input to parquet once, outside the timed window (on-heap
+# persist of wide text rows is GC-bound at high core counts)
+with_turn_latency(with_token_len(generate_transcripts(spark, spec))).write.mode("overwrite").parquet(tmp + "/base")
+base = spark.read.parquet(tmp + "/base")
+n = base.count()
+# tiers flow through parquet (the production pipeline writes every tier);
+# on-heap .persist() of blob-heavy tier rows causes GC-bound INVERSE
+# scaling at high core counts
 t0 = time.time()
-t1m = rollup_tier(base, "1m", salt=8).persist()
+rollup_tier(base, "1m", salt=8).write.mode("overwrite").parquet(tmp + "/t1m")
+t1m = spark.read.parquet(tmp + "/t1m")
 n1m = t1m.count()
 t_1m = time.time() - t0
 
 t0 = time.time()
-t1h = reaggregate_tier(t1m, "1h").persist()
+reaggregate_tier(t1m, "1h").write.mode("overwrite").parquet(tmp + "/t1h")
+t1h = spark.read.parquet(tmp + "/t1h")
 n1h = t1h.count()
 t_1h = time.time() - t0
 
@@ -81,23 +89,45 @@ def run(cores: int, n_turns: int, repo: str) -> dict:
     raise RuntimeError(f"worker failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
+def _calibrate() -> float:
+    """Single-core speed probe (seconds for a fixed integer loop). The
+    sandbox host's deliverable per-core speed drifts over time, so legs are
+    interleaved and repeated with medians taken; each leg records the
+    ambient speed for the report."""
+    t0 = time.time()
+    s = 0
+    for i in range(10_000_000):
+        s += i * 7 % 13
+    return time.time() - t0
+
+
 def main():
     import os
+    import statistics
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    results = {}
-    for cores in (8, 32):
-        print(f"running cores={cores} ...", flush=True)
-        results[cores] = run(cores, n_turns, repo)
-        print(json.dumps(results[cores], indent=1), flush=True)
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    legs = []
+    for i in range(repeats):
+        for cores in (8, 32):  # interleaved A/B
+            cal = _calibrate()
+            print(f"leg {i} cores={cores} (calibration {cal:.2f}s) ...", flush=True)
+            r = run(cores, n_turns, repo)
+            r["calibration_s"] = round(cal, 3)
+            legs.append(r)
+            print(json.dumps(r), flush=True)
 
-    r8, r32 = results[8], results[32]
-    effs = {
-        k: round(r32[k] / r8[k] / 4.0, 3)
-        for k in ("rollup_points_per_sec", "raw_turns_per_sec", "cold_points_per_sec")
+    metrics = ("rollup_points_per_sec", "raw_turns_per_sec", "cold_points_per_sec")
+    med = {
+        c: {k: statistics.median(r[k] for r in legs if r["cores"] == c) for k in metrics}
+        for c in (8, 32)
     }
-    summary = {"N": 8, "4N": 32, "n_turns": r8["n_turns"], "r8": r8, "r32": r32, "efficiency": effs}
+    effs = {k: round(med[32][k] / med[8][k] / 4.0, 3) for k in metrics}
+    summary = {
+        "N": 8, "4N": 32, "n_turns": legs[0]["n_turns"], "repeats": repeats,
+        "legs": legs, "median_8": med[8], "median_32": med[32], "efficiency": effs,
+    }
     print(json.dumps(summary, indent=1))
     with open(os.path.join(repo, "scaling_results.json"), "w") as f:
         json.dump(summary, f, indent=1)

@@ -1,0 +1,65 @@
+"""End-to-end pipeline: synthesize → standardize → QC → tier cascade →
+store → read back → resume semantics (the reference's golden E2E layer,
+SURVEY §5 port plan)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdat_spark.config import transcripts_spec
+from tsdat_spark.io.writers import read_tier
+from tsdat_spark.pipeline import run_ingest, run_rollup_job
+from tsdat_spark.qc import QCContext, QualityManager, check_missing, check_monotonic
+from tsdat_spark.synth import SynthSpec, generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    df = generate_transcripts(spark, SynthSpec(n_convs=15, base_turns=40, n_mega=1, mega_turns=600,
+                                               conv_spacing_s=3600, turn_gap_s=300))
+    df.persist(); df.count()
+    yield df
+    df.unpersist()
+
+
+def test_ingest_e2e(raw, tmp_path):
+    spec = transcripts_spec()
+    ctx = QCContext(series_keys=("conv_id",), order_cols=("turn_idx", "ts"))
+    managers = [
+        QualityManager("missing_text", lambda d, c, v, s: check_missing(F.col(v), kind="string"),
+                       ["text"], handlers=[("record", "Bad")]),
+        QualityManager("monotonic_ts", lambda d, c, v, s: check_monotonic(c, F.col(v), "increasing"),
+                       ["ts"], handlers=[("record", "Bad")]),
+    ]
+    table = str(tmp_path / "std")
+    res = run_ingest(raw, spec, ctx, managers, dedup_keys=["conv_id", "turn_idx"], table_path=table)
+    assert res.qc_bits["text"][0].meaning == "missing_text"
+    back = read_tier(raw.sparkSession, table)
+    assert back.count() == res.df.count()
+    assert "qc_text" in back.columns and "qc_ts" in back.columns
+    # dedup invariant: (conv_id, turn_idx) unique, stable text
+    assert back.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
+    assert len(res.manifests) >= 1
+
+
+def test_rollup_job_resume(raw, tmp_path):
+    from tsdat_spark.standardize import with_token_len, with_turn_latency
+
+    turns = with_turn_latency(with_token_len(raw))
+    out = str(tmp_path / "tiers")
+
+    r1 = run_rollup_job(turns, out)
+    assert r1.written_days and not r1.skipped_days
+    t1m = read_tier(raw.sparkSession, f"{out}/tier_1m")
+    t1d = read_tier(raw.sparkSession, f"{out}/tier_1d")
+    assert t1m.count() == r1.metrics["tier_1m_rows"]
+    assert 0 < t1d.count() < t1m.count()
+
+    # second run: nothing to do
+    r2 = run_rollup_job(turns, out)
+    assert not r2.written_days
+    assert sorted(r2.skipped_days) == sorted(r1.written_days)
+
+    # re-aggregated 1h equals direct re-read (counts)
+    total_raw = turns.count()
+    assert t1m.agg(F.sum("n_turns")).first()[0] == total_raw
+    assert t1d.agg(F.sum("n_turns")).first()[0] == total_raw

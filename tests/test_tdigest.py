@@ -76,3 +76,35 @@ def test_empty_and_singleton():
     # merging empties is harmless
     m = TDigest.merge_all([e, one, nans])
     assert m.quantile(0.5) == 42.0
+
+
+def test_fast_paths_match_class_semantics():
+    """fast_bytes_from_sorted / fast_merge_bytes: format-compatible with
+    TDigest.from_bytes, quantiles within order-statistic brackets."""
+    from tsdat_spark.rollup.tdigest import fast_bytes_from_sorted, fast_merge_bytes
+
+    rng = np.random.RandomState(5)
+    for _ in range(100):
+        vals = [np.sort(rng.rand(rng.randint(1, 500)) * 100) for _ in range(rng.randint(1, 6))]
+        blobs = [fast_bytes_from_sorted(v) for v in vals]
+        blob, (p50, p95) = fast_merge_bytes(blobs)
+        allv = np.sort(np.concatenate(vals))
+        n = len(allv)
+        rt = TDigest.from_bytes(blob)
+        assert rt.total_weight == pytest.approx(n)
+        for q, got in ((0.5, p50), (0.95, p95)):
+            t = q * (n - 1)
+            pad = max(1, int(0.02 * n))
+            lo = allv[max(0, int(np.floor(t)) - pad)]
+            hi = allv[min(n - 1, int(np.ceil(t)) + pad)]
+            assert lo - 1e-9 <= got <= hi + 1e-9
+
+    # empty / all-nan groups
+    e = fast_bytes_from_sorted(np.array([]))
+    blob, (p50, p95) = fast_merge_bytes([e, e])
+    assert np.isnan(p50) and np.isnan(p95)
+    assert TDigest.from_bytes(blob).total_weight == 0
+
+    # large group gets compressed
+    big = fast_bytes_from_sorted(np.sort(rng.rand(100_000)))
+    assert TDigest.from_bytes(big).means.size <= 200

@@ -255,6 +255,30 @@ SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
 FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
 """
 
+def _ann_lsh_oracle() -> str:
+    from .vector.ann import hyperplanes
+
+    planes = hyperplanes(64, 8)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(w)) for w in plane)}]::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         CAST({bucket_terms} AS BIGINT) AS bucket
+  FROM e
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.bucket AS bucket,
+       round(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+"""
+
+
+ORACLES["ann_lsh"] = _ann_lsh_oracle()
+
 ORACLES["embedding_top1"] = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -346,6 +346,17 @@ def q_embedding_top1(spark, sf_dir):
     )
 
 
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN candidate pairs (8 random hyperplanes) with exact
+    cosine re-rank — the O(n) scale path vs the brute-force baseline."""
+    from .vector.ann import ann_lsh_pairs
+
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return ann_lsh_pairs(e, "vec_id", "v", n_planes=8)
+
+
 def q_knn_cosine(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 20.
 

@@ -117,6 +117,98 @@ class TDigest:
         return TDigest(means, weights, mn, mx, comp)
 
 
+# ---------------------------------------------------------------------------
+# Hot-path helpers for the tier rollup: at 1m grain the group count is close
+# to the row count, so per-group cost is the whole game. These avoid class
+# construction and skip compression while a group is small (raw sorted
+# values are themselves valid unit-weight centroids — compression only
+# matters once n ≫ δ).
+# ---------------------------------------------------------------------------
+
+_HEADER = struct.Struct("<4sdddI")
+
+
+def fast_bytes_from_sorted(v: np.ndarray, compression: float = 100.0) -> bytes:
+    """Digest blob from an ALREADY nan-free, sorted float64 array."""
+    n = v.size
+    if n == 0:
+        return _HEADER.pack(_MAGIC, compression, np.inf, -np.inf, 0)
+    if n > 4 * compression:
+        means, weights = _compress(v, np.ones_like(v), compression)
+    else:
+        means, weights = v, np.ones_like(v)
+    return (
+        _HEADER.pack(_MAGIC, compression, float(v[0]), float(v[-1]), means.size)
+        + means.astype("<f8").tobytes()
+        + weights.astype("<f8").tobytes()
+    )
+
+
+def _parse(blob: bytes):
+    magic, comp, mn, mx, n = _HEADER.unpack_from(blob, 0)
+    off = _HEADER.size
+    means = np.frombuffer(blob, dtype="<f8", count=n, offset=off)
+    weights = np.frombuffer(blob, dtype="<f8", count=n, offset=off + 8 * n)
+    return means, weights, mn, mx
+
+
+def _quantiles_from_centroids(
+    means: np.ndarray, weights: np.ndarray, mn: float, mx: float, qs: tuple[float, ...]
+) -> list[float]:
+    n = means.size
+    if n == 0:
+        return [float("nan")] * len(qs)
+    if n == 1:
+        return [float(means[0])] * len(qs)
+    W = weights.sum()
+    cum = np.cumsum(weights) - weights / 2.0
+    out = []
+    for q in qs:
+        target = q * W
+        if target <= cum[0]:
+            frac = target / cum[0] if cum[0] > 0 else 0.0
+            out.append(float(mn + frac * (means[0] - mn)))
+        elif target >= cum[-1]:
+            denom = W - cum[-1]
+            frac = (target - cum[-1]) / denom if denom > 0 else 0.0
+            out.append(float(means[-1] + frac * (mx - means[-1])))
+        else:
+            idx = np.searchsorted(cum, target) - 1
+            span = cum[idx + 1] - cum[idx]
+            frac = (target - cum[idx]) / span if span > 0 else 0.0
+            out.append(float(means[idx] + frac * (means[idx + 1] - means[idx])))
+    return out
+
+
+def fast_merge_bytes(
+    blobs, compression: float = 100.0, qs: tuple[float, ...] = (0.5, 0.95)
+) -> tuple[bytes, list[float]]:
+    """Merge digest blobs; returns (merged blob, quantiles). Single-blob
+    groups (the common tier case) skip the re-sort entirely."""
+    if len(blobs) == 1:
+        means, weights, mn, mx = _parse(blobs[0])
+        return bytes(blobs[0]), _quantiles_from_centroids(means, weights, mn, mx, qs)
+    parsed = [_parse(b) for b in blobs]
+    parsed = [p for p in parsed if p[0].size]
+    if not parsed:
+        empty = _HEADER.pack(_MAGIC, compression, np.inf, -np.inf, 0)
+        return empty, [float("nan")] * len(qs)
+    means = np.concatenate([p[0] for p in parsed])
+    weights = np.concatenate([p[1] for p in parsed])
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    mn = min(p[2] for p in parsed)
+    mx = max(p[3] for p in parsed)
+    if means.size > 4 * compression:
+        means, weights = _compress(means, weights, compression)
+    blob = (
+        _HEADER.pack(_MAGIC, compression, mn, mx, means.size)
+        + means.astype("<f8").tobytes()
+        + weights.astype("<f8").tobytes()
+    )
+    return blob, _quantiles_from_centroids(means, weights, mn, mx, qs)
+
+
 def _k(q: np.ndarray, compression: float) -> np.ndarray:
     # k1 scale; the δ/π constant makes the total k-span equal δ (asin spans
     # [-π/2, π/2]), so compression=100 yields ~100 centroids.

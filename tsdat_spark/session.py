@@ -41,9 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("TSDAT_SPARK_DRIVER_MEM", "16g"))
+        # local mode: driver heap is the only executor memory — size it to
+        # the box (32 concurrent tasks × task working set + cached tiers);
+        # an undersized heap shows up as INVERSE scaling at high core
+        # counts (GC thrash grows with concurrent tasks)
+        .config("spark.driver.memory", os.environ.get("TSDAT_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
