@@ -57,7 +57,14 @@ def nearest_neighbor(
     u = data.unionByName(grid_rows)
     w = W.partitionBy(*series_keys).orderBy("__pos", "__is_grid")
     prev = F.last("__p", ignorenulls=True).over(w.rowsBetween(W.unboundedPreceding, 0))
-    nxt = F.first("__p", ignorenulls=True).over(w.rowsBetween(0, W.unboundedFollowing))
+    # "next" as a REVERSED running-last, not first() over an
+    # UnboundedFollowing frame: Spark evaluates following-frame aggregates
+    # by rescanning to the partition end for every row — O(n²) per series
+    # (measured: 171 s vs 5 s on the sf0.1 grid). The reverse sort keeps it
+    # linear; ties (data at exactly the label) still resolve into `prev`
+    # because is_grid DESC puts the grid row before same-pos data rows.
+    w_rev = W.partitionBy(*series_keys).orderBy(F.col("__pos").desc(), F.col("__is_grid").desc())
+    nxt = F.last("__p", ignorenulls=True).over(w_rev.rowsBetween(W.unboundedPreceding, 0))
     u = (
         u.withColumn("__prev", prev)
         .withColumn("__next", nxt)
