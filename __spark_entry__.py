@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_range_value": Q.q_qc_range_value,
         "qc_std_value": Q.q_qc_std_value,
         "gap_fill_1h": Q.q_gap_fill_1h,
+        "unit_convert": Q.q_unit_convert,
+        "sessionize": Q.q_sessionize,
         "bin_average_30m": Q.q_bin_average_30m,
         "nearest_1h": Q.q_nearest_1h,
         "interpolate_1h": Q.q_interpolate_1h,

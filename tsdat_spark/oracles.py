@@ -171,6 +171,32 @@ FROM ranked WHERE rank <= 5
 """,
 }
 
+ORACLES["unit_convert"] = _QC_PREFIX + """
+SELECT conv_id, turn_idx,
+       round(value * (5.0/9.0) + (-32.0 * 5.0/9.0), 6) AS value_degc
+FROM t
+"""
+
+ORACLES["sessionize"] = _QC_PREFIX + """
+, g AS (
+  SELECT conv_id, turn_idx, ts, token_len,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), s AS (
+  SELECT conv_id, ts, token_len,
+         SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+  FROM g
+)
+SELECT conv_id, session_idx,
+       COUNT(*) AS n_turns,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       SUM(token_len) AS token_len_sum
+FROM s GROUP BY 1, 2
+"""
+
 # --- dedup-family oracles: shared deterministic integer hashing -----------
 
 _HASH_CTE = """

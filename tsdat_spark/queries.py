@@ -233,6 +233,36 @@ def q_interpolate_1h(spark, sf_dir):
                       F.round("value", 6).alias("value_li"), "qc_value")
 
 
+def q_unit_convert(spark, sf_dir):
+    """tsdat UnitsConverter semantics (units_converter.py:30-114): the
+    pint-derived scale/offset is computed on the driver, applied as pure
+    Catalyst column math — here degF→degC on the value column."""
+    t = transcripts(spark, sf_dir)
+    scale, offset = 5.0 / 9.0, -32.0 * 5.0 / 9.0  # driver-side "pint" result
+    return t.select(
+        "conv_id", "turn_idx",
+        F.round(F.col("value") * scale + offset, 6).alias("value_degc"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: a new session starts when the gap since the previous
+    turn of the conversation exceeds 30 minutes (lag + running sum —
+    the classic window pattern; per-conv session stats returned)."""
+    t = transcripts(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = t.withColumn("session_idx",
+                        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0)) - 1)
+    return sess.groupBy("conv_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum("token_len").alias("token_len_sum"),
+    )
+
+
 # --------------------------- documents: text ops ---------------------------
 
 
