@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_delta_value": Q.q_qc_delta_value,
         "qc_range_value": Q.q_qc_range_value,
         "qc_std_value": Q.q_qc_std_value,
+        "qc_mask_threshold": Q.q_qc_mask_threshold,
         "gap_fill_1h": Q.q_gap_fill_1h,
         "unit_convert": Q.q_unit_convert,
         "sessionize": Q.q_sessionize,

@@ -64,21 +64,29 @@ def main() -> None:
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
     # --- engine tier cascade on synthetic transcripts at matched scale -----
-    # sf0.1 ≈ 600k lineitem rows → size the synthetic table comparably
+    # sf0.1 ≈ 600k lineitem rows → size the synthetic table comparably.
+    # Tiers flow through parquet like the production pipeline — on-heap
+    # persist of blob-heavy tier rows goes GC-bound at high core counts.
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_tiers_")
     n_turns_target = max(int(6_000_000 * sf), 60_000)
     n_convs = max(n_turns_target // 2_000, 8)
     spec = SynthSpec(n_convs=n_convs, base_turns=2_000, n_mega=max(n_convs // 100, 1),
                      mega_turns=40_000, partitions=cpus * 2)
-    synth = with_turn_latency(with_token_len(generate_transcripts(spark, spec)))
-    synth = synth.persist()
+    with_turn_latency(with_token_len(generate_transcripts(spark, spec))).write.mode(
+        "overwrite").parquet(f"{tmp}/base")
+    synth = spark.read.parquet(f"{tmp}/base")
     n_rows = synth.count()
 
     t0 = time.time()
-    t1m = rollup_tier(synth, "1m", salt=8).persist()
+    rollup_tier(synth, "1m", salt=8).write.mode("overwrite").parquet(f"{tmp}/t1m")
+    t1m = spark.read.parquet(f"{tmp}/t1m")
     n_1m = t1m.count()
     timings["tier_1m_synth"] = round(time.time() - t0, 3)
     t0 = time.time()
-    t1h = reaggregate_tier(t1m, "1h").persist()
+    reaggregate_tier(t1m, "1h").write.mode("overwrite").parquet(f"{tmp}/t1h")
+    t1h = spark.read.parquet(f"{tmp}/t1h")
     n_1h = t1h.count()
     timings["tier_1h_reagg"] = round(time.time() - t0, 3)
     t0 = time.time()
@@ -102,7 +110,6 @@ def main() -> None:
     extra["cold_encode_points_per_sec"] = round((stats[0] or 0) / max(timings["cold_encode"], 1e-9), 1)
     extra["cold_bytes_per_point"] = round((stats[1] or 1) / max(stats[0] or 1, 1), 2)
 
-    t1m.unpersist(); t1h.unpersist(); synth.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

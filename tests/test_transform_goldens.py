@@ -206,3 +206,21 @@ def test_interpolate_matches_reference_loop(spark):
         else:
             assert r["v"] == pytest.approx(ev), r
             assert r["qc_v"] == eq, r
+
+
+def test_transform_auto_dispatch(spark):
+    """TRANS_AUTO: downsampling grid → bin average (value_avg semantics);
+    upsampling grid → interpolation (exact linear blends)."""
+    from tsdat_spark.transform import transform_auto
+
+    rows = [(D(2022, 1, 1, 0, 10 * i), float(i) * 10) for i in range(6)]
+    df = spark.createDataFrame(rows, "time timestamp, v double")
+
+    # downsample: 30-min grid over 10-min data → averaging path
+    down = transform_auto(df, GridSpec("2022-01-01", "2022-01-02", interval_s=1800), [], "time", ["v"])
+    assert "v_goodfraction" in down.columns  # bin_average's metric columns
+    # upsample: 1-min grid over 10-min data → interpolation path
+    up = transform_auto(df, GridSpec("2022-01-01", "2022-01-02", interval_s=60), [], "time", ["v"])
+    assert "v_goodfraction" not in up.columns
+    got = {r["label"]: r["v"] for r in up.collect()}
+    assert got[D(2022, 1, 1, 0, 5)] == pytest.approx(5.0)

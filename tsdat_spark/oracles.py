@@ -171,6 +171,12 @@ FROM ranked WHERE rank <= 5
 """,
 }
 
+ORACLES["qc_mask_threshold"] = _QC_PREFIX + """
+SELECT conv_id, turn_idx,
+       CAST(COALESCE(value >= 90.0, FALSE) AS INT) AS qc_mask
+FROM t
+"""
+
 ORACLES["unit_convert"] = _QC_PREFIX + """
 SELECT conv_id, turn_idx,
        round(value * (5.0/9.0) + (-32.0 * 5.0/9.0), 6) AS value_degc

@@ -171,6 +171,16 @@ def q_qc_std_value(spark, sf_dir):
     return t.select("conv_id", "turn_idx", mask.cast("int").alias("qc_std"))
 
 
+def q_qc_mask_threshold(spark, sf_dir):
+    """CheckArrayMaskThreshold with a configurable comparator
+    (check_array_mask_threshold.py:18-78) — here `>= 90`."""
+    from .qc import check_mask_threshold
+
+    t = transcripts(spark, sf_dir)
+    mask = check_mask_threshold(F.col("value"), 90.0, ">=")
+    return t.select("conv_id", "turn_idx", mask.cast("int").alias("qc_mask"))
+
+
 def q_gap_fill_1h(spark, sf_dir):
     """Per-conv hourly grid between first and last turn, left-joined with
     counts; gap hours appear with n_turns=0, is_gap=1 (tsdat CreateTimeGrid
