@@ -36,14 +36,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _tier_1m_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-native 1m tier (t-digest path) — rows-only check; exactness
-    of counts/sums and sketch accuracy are covered in tests/test_rollup.py."""
+    """Engine-native 1m tier (t-digest path), fully oracle-checked.
+
+    Counts/sums are exact and compared exactly. The t-digest percentiles are
+    approximate by design, so they are checked as *bracket booleans*: the
+    digest p50/p95 must fall within the sorted-values bracket
+    [rank floor((n-1)q) - 1, rank floor((n-1)q) + 2] (±1 rank slack around
+    the adjacent-rank discrete quantiles). With unit-weight (singleton)
+    centroids — guaranteed at 1m grain, where groups are far below the
+    4·compression=400 threshold in tdigest.fast_bytes_from_sorted — the
+    digest interpolates between adjacent sorted values at rank q·n−0.5,
+    which is provably inside this bracket. The oracle emits literal TRUE,
+    so any digest regression flips the value hash red.
+    """
     t = Q.transcripts(spark, sf_dir)
     tier = rollup_tier(t, "1m", series_keys=["conv_id", "role"], salt=4)
-    return tier.select(
-        "conv_id", "role", "bin_start", "n_turns", "token_len_sum",
-        "n_latency", F.round("latency_p50", 2).alias("latency_p50"),
-        F.round("latency_p95", 2).alias("latency_p95"),
+    exact = (
+        t.groupBy("conv_id", "role", F.date_trunc("minute", "ts").alias("bin_start"))
+        .agg(F.sort_array(F.collect_list("latency_us")).alias("lat"))
+    )
+
+    def bracket_ok(p_col: str, q: float):
+        # try_element_at + index clamps: ANSI mode (Spark 4 default) makes
+        # element_at throw on 0/out-of-range, and when n==0 both branch
+        # expressions are still evaluated.
+        n = F.size("lat")
+        r = F.floor((n - 1) * F.lit(q)).cast("int")
+        lo = F.try_element_at("lat", F.greatest(r - 1, F.lit(0)) + 1)
+        hi = F.try_element_at("lat", F.greatest(F.least(r + 2, n - 1) + 1, F.lit(1)))
+        return F.when(n == 0, F.lit(True)).otherwise(
+            (F.col(p_col) >= lo) & (F.col(p_col) <= hi)
+        )
+
+    joined = tier.join(exact, ["conv_id", "role", "bin_start"])
+    return joined.select(
+        "conv_id", "role", "bin_start", "n_turns", "token_len_sum", "n_latency",
+        bracket_ok("latency_p50", 0.5).alias("p50_in_bracket"),
+        bracket_ok("latency_p95", 0.95).alias("p95_in_bracket"),
     )
 
 

@@ -34,7 +34,9 @@ WITH t0 AS (
 _ROLLUP_TMPL = TRANSCRIPTS_CTE + """
 SELECT conv_id, role, date_trunc('{unit}', ts) AS bin_start,
        COUNT(*) AS n_turns,
-       SUM(token_len) AS token_len_sum,
+       -- DuckDB SUM(BIGINT) -> HUGEINT (int128); cast back so the dtype
+       -- (and thus the driver's value hash) aligns with Spark's bigint.
+       CAST(SUM(token_len) AS BIGINT) AS token_len_sum,
        COUNT(latency_us) AS n_latency,
        list_sort(list(latency_us) FILTER (latency_us IS NOT NULL))
          [CAST(floor((COUNT(latency_us) - 1) * 0.5) AS INT) + 1] AS latency_p50,
@@ -57,7 +59,7 @@ ORACLES: dict[str, str] = {
 SELECT role, date_trunc('hour', ts) AS bin_start,
        COUNT(*) AS n_turns,
        COUNT(DISTINCT conv_id) AS n_distinct_convs,
-       SUM(token_len) AS token_len_sum
+       CAST(SUM(token_len) AS BIGINT) AS token_len_sum
 FROM t GROUP BY 1, 2
 """,
     "qc_missing_text": _QC_PREFIX
@@ -171,6 +173,22 @@ FROM ranked WHERE rank <= 5
 """,
 }
 
+# Engine-native t-digest 1m tier: counts/sums exact; the percentile bracket
+# booleans are asserted Spark-side (see __spark_entry__._tier_1m_tdigest) and
+# must come out TRUE — the oracle emits the literal. token_len_sum uses
+# COALESCE(.., 0) because the engine's vectorized partial aggregation treats
+# missing token counts as 0 (nan_to_num in tiers.phase1), whereas SQL SUM of
+# an all-NULL group is NULL.
+ORACLES["tier_1m_tdigest"] = TRANSCRIPTS_CTE + """
+SELECT conv_id, role, date_trunc('minute', ts) AS bin_start,
+       COUNT(*) AS n_turns,
+       COALESCE(CAST(SUM(token_len) AS BIGINT), 0) AS token_len_sum,
+       COUNT(latency_us) AS n_latency,
+       TRUE AS p50_in_bracket,
+       TRUE AS p95_in_bracket
+FROM t GROUP BY 1, 2, 3
+"""
+
 ORACLES["qc_mask_threshold"] = _QC_PREFIX + """
 SELECT conv_id, turn_idx,
        CAST(COALESCE(value >= 90.0, FALSE) AS INT) AS qc_mask
@@ -190,16 +208,16 @@ ORACLES["sessionize"] = _QC_PREFIX + """
   FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 ), s AS (
   SELECT conv_id, ts, token_len,
-         SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY conv_id ORDER BY turn_idx
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
   FROM g
 )
 SELECT conv_id, session_idx,
        COUNT(*) AS n_turns,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
-       SUM(token_len) AS token_len_sum
+       CAST(SUM(token_len) AS BIGINT) AS token_len_sum
 FROM s GROUP BY 1, 2
 """
 
@@ -491,10 +509,14 @@ ORACLES["qc_monotonic_value"] = _QC_PREFIX + """
   WINDOW wc AS (PARTITION BY conv_id)
 )
 SELECT conv_id, turn_idx,
+       -- non-first NULL values fail, mirroring checkers.py check_monotonic's
+       -- null_fail term (reference: NaN > prev is False -> flagged); turn_idx
+       -- is the 0-based per-conv row number, so turn_idx > 0 == "has a
+       -- preceding row".
        CAST(CASE
          WHEN n_up >= n_down
-           THEN COALESCE(value <= run_max, FALSE)
-         ELSE COALESCE(value >= run_min, FALSE)
+           THEN (value IS NULL AND turn_idx > 0) OR COALESCE(value <= run_max, FALSE)
+         ELSE (value IS NULL AND turn_idx > 0) OR COALESCE(value >= run_min, FALSE)
        END AS INT) AS qc_monotonic
 FROM d
 """
