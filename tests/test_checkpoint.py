@@ -55,6 +55,21 @@ def test_resume_skips_done_and_detects_changes(days_df, tmp_path):
     assert skipped2 == []
 
 
+def test_fingerprint_sensitive_to_duplicate_multiplicity(spark):
+    # {A,A,C} -> {B,B,C}: a bare XOR of row hashes cancels the identical
+    # pair and misses the change; the sum component must catch it.
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df_a = spark.createDataFrame([("A", t0), ("A", t0), ("C", t0)], "text string, ts timestamp")
+    df_b = spark.createDataFrame([("B", t0), ("B", t0), ("C", t0)], "text string, ts timestamp")
+    (ma,) = partition_manifests(df_a, "ts")
+    (mb,) = partition_manifests(df_b, "ts")
+    assert ma.n_rows == mb.n_rows == 3
+    assert ma.content_hash != mb.content_hash
+    assert ma.input_snapshot_id != mb.input_snapshot_id
+
+
 def test_write_read_tier_roundtrip(days_df, tmp_path):
     path = str(tmp_path / "t1m")
     agg = days_df.groupBy("conv_id", F.date_trunc("hour", "ts").alias("bin_start")).count()

@@ -63,3 +63,33 @@ def test_rollup_job_resume(raw, tmp_path):
     total_raw = turns.count()
     assert t1m.agg(F.sum("n_turns")).first()[0] == total_raw
     assert t1d.agg(F.sum("n_turns")).first()[0] == total_raw
+
+
+def test_rollup_job_crash_resume_builds_missing_tiers(raw, tmp_path):
+    """Crash between the base-tier write and the coarser tiers must NOT
+    strand tier_1h/tier_1d: each tier has its own manifests, so the next
+    run rebuilds the missing tiers from the written tier_1m without
+    recomputing the base tier from raw turns."""
+    import os
+
+    from tsdat_spark.standardize import with_token_len, with_turn_latency
+
+    turns = with_turn_latency(with_token_len(raw))
+    out = str(tmp_path / "tiers2")
+
+    # simulate the crash: a run that only completed the base tier
+    r0 = run_rollup_job(turns, out, tiers=("1m",))
+    assert r0.written_days and not os.path.isdir(f"{out}/tier_1h")
+
+    # resumed full run: base tier skipped, coarser tiers rebuilt
+    r1 = run_rollup_job(turns, out)
+    assert r1.written_days == []  # base tier was NOT recomputed
+    total_raw = turns.count()
+    for tier in ("1h", "1d"):
+        t = read_tier(raw.sparkSession, f"{out}/tier_{tier}")
+        assert t.agg(F.sum("n_turns")).first()[0] == total_raw
+
+    # steady state: nothing to do anywhere
+    r2 = run_rollup_job(turns, out)
+    assert not r2.written_days
+    assert sorted(r2.skipped_days) == sorted(r0.written_days)

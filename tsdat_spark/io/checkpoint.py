@@ -11,9 +11,10 @@ Protocol:
 
 1. ``partition_manifests(df)`` computes, in ONE distributed aggregation,
    per-day-partition: row count, an order-insensitive content hash
-   (sum of xxhash64 over the lineage columns — commutative, so partition
-   layout cannot change it), and QC counters (sum of each ``qc_*`` column's
-   nonzero flags).
+   (exact decimal SUM of per-row xxhash64 combined with their XOR and the
+   row count — commutative, so partition layout cannot change it, and
+   duplicate-row multiplicity affects it, which a bare XOR would cancel),
+   and QC counters (sum of each ``qc_*`` column's nonzero flags).
 2. ``write_manifests`` stores them as JSON sidecars under
    ``<table>/_manifests/<date>.json`` (an Iceberg deployment would put them
    in snapshot summary properties instead).
@@ -39,7 +40,7 @@ from pyspark.sql import functions as F
 class PartitionManifest:
     partition: str  # ISO date
     n_rows: int
-    content_hash: str  # commutative xxhash64 sum, hex
+    content_hash: str  # commutative sum64+xor64 of row xxhash64s, hex
     qc_counters: dict[str, int]
     input_snapshot_id: str  # fingerprint of the input slice for this day
     written_at: float = 0.0
@@ -57,22 +58,28 @@ def partition_manifests(
     row_hash = F.xxhash64(*[F.col(c) for c in lineage_cols])
     aggs = [
         F.count(F.lit(1)).alias("__n"),
-        # bit_xor: commutative ⇒ layout-independent, and (unlike sum)
-        # cannot overflow under ANSI mode at any row count
-        F.bit_xor(row_hash).alias("__hash"),
+        # xor: commutative ⇒ layout-independent, but an even number of
+        # identical rows cancels to zero, so it cannot stand alone…
+        F.bit_xor(row_hash).alias("__xor"),
+        # …sum: multiplicity-sensitive. Exact DECIMAL(38,0) accumulation is
+        # ANSI-overflow-safe at any realistic count (10^12 rows × 2^63 ≈
+        # 10^31 ≪ 10^38); reduced mod 2^64 on the driver.
+        F.sum(row_hash.cast("decimal(38,0)")).alias("__sum"),
     ]
     aggs += [F.sum((F.col(c) != 0).cast("long")).alias(f"__qc_{c}") for c in qc_cols]
     rows = df.groupBy(day).agg(*aggs).collect()
     out = []
     for r in rows:
-        h = (r["__hash"] or 0) & 0xFFFFFFFFFFFFFFFF
+        x = (r["__xor"] or 0) & 0xFFFFFFFFFFFFFFFF
+        s = int(r["__sum"] or 0) % (1 << 64)
+        h = f"{s:016x}{x:016x}"
         out.append(
             PartitionManifest(
                 partition=r["__day"],
                 n_rows=r["__n"],
-                content_hash=f"{h:016x}",
+                content_hash=h,
                 qc_counters={c: int(r[f"__qc_{c}"] or 0) for c in qc_cols},
-                input_snapshot_id=f"{h:016x}:{r['__n']}",
+                input_snapshot_id=f"{h}:{r['__n']}",
                 written_at=time.time(),
             )
         )

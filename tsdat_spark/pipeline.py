@@ -22,15 +22,15 @@ bins see their neighbors, then output is trimmed to the owned range —
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime
+from datetime import date, datetime
 from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import DatasetSpec
-from .io.checkpoint import partition_manifests, resume_remaining, write_manifests
-from .io.writers import write_tier
+from .io.checkpoint import completed_partitions, partition_manifests, write_manifests
+from .io.writers import PARTITION_COL, write_tier
 from .qc.checkers import QCContext
 from .qc.manager import QualityManager, apply_qc
 from .rollup import reaggregate_tier, rollup_tier
@@ -101,32 +101,58 @@ def run_rollup_job(
 ) -> RollupJobResult:
     """Checkpointed tier-cascade job (see module docstring).
 
-    Writes ``{out_root}/tier_{t}`` for each tier; resume skips days whose
-    input fingerprint is unchanged since the last successful run.
+    Writes ``{out_root}/tier_{t}`` for each tier. Crash-resume protocol:
+
+    - Every tier path keeps its OWN manifests, written only *after* that
+      tier's data write succeeded, so a crash mid-cascade leaves the
+      not-yet-written tiers' manifests missing/stale and the next run
+      rebuilds exactly those tiers (from the already-written finer tier —
+      never by re-reading raw turns).
+    - Tier N+1 is computed from tier N's *written storage*, not an on-heap
+      persist: digest-bearing rows cached on-heap are GC-bound at high core
+      counts (measured in BENCH.md), and the parquet round-trip is also what
+      makes per-tier resume possible at all.
     """
-    base_path = f"{out_root}/tier_{tiers[0]}"
-    remaining, todo, skipped = resume_remaining(turns, base_path, ts_col=ts_col)
-    result = RollupJobResult(skipped_days=skipped)
-    if not todo:
+    spark = turns.sparkSession
+    current = partition_manifests(turns, ts_col=ts_col)
+    per_tier_todo: dict[str, list] = {}
+    for tier in tiers:
+        done = completed_partitions(f"{out_root}/tier_{tier}")
+        per_tier_todo[tier] = [
+            m
+            for m in current
+            if (prev := done.get(m.partition)) is None
+            or prev.input_snapshot_id != m.input_snapshot_id
+        ]
+    todo_days_any = {m.partition for t in tiers for m in per_tier_todo[t]}
+    result = RollupJobResult(
+        skipped_days=sorted(m.partition for m in current if m.partition not in todo_days_any)
+    )
+    if not todo_days_any:
         return result
 
-    fine = rollup_tier(remaining, tiers[0], series_keys=series_keys, ts_col=ts_col).persist()
-    write_tier(fine, base_path, ts_col="bin_start")
-    write_manifests(base_path, todo)  # manifest carries the INPUT fingerprint
-    result.written_days = [m.partition for m in todo]
-    result.metrics[f"tier_{tiers[0]}_rows"] = fine.count()
+    base = tiers[0]
+    base_path = f"{out_root}/tier_{base}"
+    base_days = sorted(m.partition for m in per_tier_todo[base])
+    if base_days:
+        filtered = turns.where(F.to_date(F.col(ts_col)).cast("string").isin(base_days))
+        fine = rollup_tier(filtered, base, series_keys=series_keys, ts_col=ts_col)
+        write_tier(fine, base_path, ts_col="bin_start")
+        write_manifests(base_path, per_tier_todo[base])
+    result.written_days = base_days
 
-    prev = fine
+    prev_path = base_path
     for tier in tiers[1:]:
-        coarser = reaggregate_tier(prev, tier, series_keys=series_keys).persist()
         path = f"{out_root}/tier_{tier}"
-        write_tier(coarser, path, ts_col="bin_start")
-        write_manifests(path, todo)
-        result.metrics[f"tier_{tier}_rows"] = coarser.count()
-        if prev is not fine:
-            prev.unpersist()
-        prev = coarser
-    if prev is not fine:
-        prev.unpersist()
-    fine.unpersist()
+        days = [date.fromisoformat(m.partition) for m in per_tier_todo[tier]]
+        if days:
+            # partition-pruned scan of the finer tier's written table
+            finer = spark.read.parquet(prev_path).where(F.col(PARTITION_COL).isin(days))
+            coarser = reaggregate_tier(finer, tier, series_keys=series_keys)
+            write_tier(coarser, path, ts_col="bin_start")
+            write_manifests(path, per_tier_todo[tier])
+        prev_path = path
+
+    for tier in tiers:
+        result.metrics[f"tier_{tier}_rows"] = spark.read.parquet(f"{out_root}/tier_{tier}").count()
     return result

@@ -367,22 +367,49 @@ def _norm(c):
     return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+# Hard bound for the exact top-1 verification path: above this, the O(n²·d)
+# brute force is the wrong tool and callers must use vector.ann.ann_lsh_pairs
+# (bucketed LSH + exact re-rank — the O(n) scale path). 50k × 64 doubles is a
+# ~25 MB broadcast and ~2.5G distance evaluations — the ceiling of sane.
+TOP1_MAX_VECTORS = 50_000
+
+
 def q_embedding_top1(spark, sf_dir):
-    """Nearest-neighbor (top-1 cosine) per vector — the embedding near-dup
-    primitive (pairs above a cosine threshold are dup candidates)."""
+    """EXACT nearest-neighbor (top-1 cosine) per vector — the embedding
+    near-dup primitive (pairs above a cosine threshold are dup candidates).
+
+    This is the bounded *verification/baseline* path: exact global top-1 is
+    inherently all-pairs, so the query side is broadcast (no shuffle; each
+    scan partition streams against the in-memory table) and the input is
+    hard-capped at TOP1_MAX_VECTORS — beyond that the engine path is
+    ``ann_lsh`` (see q_ann_lsh), exactly as ``jaccard_pairs`` is the bounded
+    exact check for the LSH dedup path.
+    """
     e = _embeddings(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     ).withColumn("nrm", _norm(F.col("v")))  # norm per ROW, never per pair
+    n = e.limit(TOP1_MAX_VECTORS + 1).count()
+    if n > TOP1_MAX_VECTORS:
+        raise ValueError(
+            f"embedding_top1 is the exact verification path, bounded at "
+            f"{TOP1_MAX_VECTORS} vectors; use vector.ann.ann_lsh_pairs for "
+            f"larger inputs"
+        )
     q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
-    pairs = e.join(q, F.col("vec_id") != F.col("query_id"))
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("nrm") * F.col("qnrm"))
     scored = pairs.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") == 1)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"))
+    # algebraic top-1: struct-max gives highest cos, ties to lowest
+    # neighbor_id (negated field) — map-side combined, so only one partial
+    # row per (query, partition) ever shuffles, never the n² scored rows.
+    best = scored.groupBy("query_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("neighbor_id")).alias("neg_id"))).alias("b")
+    )
+    return best.select(
+        "query_id",
+        (-F.col("b.neg_id")).alias("neighbor_id"),
+        F.round("b.cos", 6).alias("cosine"),
     )
 
 
