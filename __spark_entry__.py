@@ -79,6 +79,7 @@ def _tier_1m_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "standardize_transcripts": Q.q_standardize,
+        "standardize_csv": Q.q_standardize_csv,
         "rollup_1m": Q.q_rollup_1m,
         "rollup_1h": Q.q_rollup_1h,
         "rollup_1d": Q.q_rollup_1d,

@@ -1,0 +1,132 @@
+"""Retrieval: reader dispatch, per-input-key rules, multi-source priority
+merge (perform_data_retrieval.py:20-99 semantics)."""
+
+import pytest
+
+from tsdat_spark.config import DatasetSpec, VariableSpec
+from tsdat_spark.retrieval import perform_data_retrieval
+from tsdat_spark.yaml_config import RetrieverSpec, VarRule
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return DatasetSpec(
+        name="merged",
+        ts_col="time",
+        series_keys=[],
+        variables={
+            "a": VariableSpec("a", "double"),
+            "b": VariableSpec("b", "double"),
+        },
+    )
+
+
+def _write_csv(path, header, rows):
+    with open(path, "w") as f:
+        f.write(header + "\n")
+        for r in rows:
+            f.write(",".join(str(v) for v in r) + "\n")
+
+
+def test_multi_source_priority_merge(spark, tmp_path, dataset):
+    """Variable `a` exists in BOTH sources → the first input key supplies
+    it; variable `b` only in the second → coalesced from there; rows align
+    on the shared time coordinate via outer join."""
+    k1 = str(tmp_path / "primary.csv")
+    k2 = str(tmp_path / "secondary.csv")
+    _write_csv(k1, "time,a", [(1, 10.0), (2, 20.0), (3, 30.0)])
+    _write_csv(k2, "time,a,b", [(1, -1.0, 100.0), (2, -2.0, 200.0), (4, -4.0, 400.0)])
+
+    retriever = RetrieverSpec(
+        readers=[(r".*\.csv$", __import__("tsdat_spark.io.readers", fromlist=["CSVReader"]).CSVReader())],
+        rules={
+            "time": [VarRule(None, ["time"])],
+            "a": [VarRule(None, ["a"])],
+            "b": [VarRule(None, ["b"])],
+        },
+    )
+    out = perform_data_retrieval(spark, [k1, k2], retriever, dataset)
+    rows = {r["time"]: (r["a"], r["b"]) for r in out.collect()}
+    # priority: `a` from k1 (never the -1/-2 in k2), `b` from k2
+    assert rows[1] == (10.0, 100.0)
+    assert rows[2] == (20.0, 200.0)
+    assert rows[3] == (30.0, None)  # k2 has no t=3
+    assert rows[4] == (None, 400.0)  # outer-join row only in k2
+
+
+def test_per_input_key_rules(spark, tmp_path, dataset):
+    """Per-key regex rules: the same output variable maps to different
+    source columns depending on which input key is being read
+    (input_key_retrieval_rules.py:13-36)."""
+    k1 = str(tmp_path / "siteA.csv")
+    k2 = str(tmp_path / "siteB.csv")
+    _write_csv(k1, "time,temp_a", [(1, 1.5)])
+    _write_csv(k2, "time,temp_b", [(2, 2.5)])
+
+    from tsdat_spark.io.readers import CSVReader
+
+    retriever = RetrieverSpec(
+        readers=[(r".*\.csv$", CSVReader())],
+        rules={
+            "time": [VarRule(None, ["time"])],
+            "a": [VarRule(r".*siteA.*", ["temp_a"]), VarRule(r".*siteB.*", ["temp_b"])],
+        },
+    )
+    # priority assignment picks siteA's rule for `a`; swapping key order
+    # flips the supplier — "first matching source supplies each variable"
+    out1 = perform_data_retrieval(spark, [k1, k2], retriever, dataset)
+    assert {r["a"] for r in out1.collect()} == {1.5}
+    out2 = perform_data_retrieval(spark, [k2, k1], retriever, dataset)
+    assert {r["a"] for r in out2.collect()} == {2.5}
+
+
+def test_no_reader_match_raises(spark, tmp_path, dataset):
+    from tsdat_spark.io.readers import read_input
+
+    with pytest.raises(ValueError):
+        read_input(spark, "input.netcdf", [(r".*\.csv$", None)])
+
+
+def test_archive_readers_tar_and_zip(spark, tmp_path):
+    """Tar/Zip archives of member CSVs, unpacked distributed-side
+    (tar_reader.py:12-60 semantics incl. exclude patterns)."""
+    import io
+    import tarfile
+    import zipfile
+
+    member = "day1/data.csv"
+    junk = "day1/__MACOSX/ignore.csv"
+    csv_bytes = b"time,a\n1,10.5\n2,20.5\n"
+
+    tar_path = str(tmp_path / "arch.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        for name, data in ((member, csv_bytes), (junk, csv_bytes)):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    zip_path = str(tmp_path / "arch.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        zf.writestr(member, csv_bytes)
+        zf.writestr(junk, csv_bytes)
+
+    from tsdat_spark.io.readers import TarReader, ZipReader
+
+    for reader, path in ((TarReader("time bigint, a double"), tar_path),
+                         (ZipReader("time bigint, a double"), zip_path)):
+        out = reader.read(spark, path).orderBy("time").collect()
+        assert [(r["time"], r["a"]) for r in out] == [(1, 10.5), (2, 20.5)]  # junk excluded
+
+
+def test_archive_reader_via_yaml_dispatch(spark, tmp_path):
+    import zipfile
+
+    zip_path = str(tmp_path / "bundle.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        zf.writestr("x.csv", "time,a\n5,1.25\n")
+
+    from tsdat_spark.io.readers import ZipReader, read_input
+
+    readers = [(r".*\.zip$", ZipReader("time bigint, a double"))]
+    out = read_input(spark, zip_path, readers).collect()
+    assert len(out) == 1 and out[0]["a"] == 1.25

@@ -224,3 +224,19 @@ def test_transform_auto_dispatch(spark):
     assert "v_goodfraction" not in up.columns
     got = {r["label"]: r["v"] for r in up.collect()}
     assert got[D(2022, 1, 1, 0, 5)] == pytest.approx(5.0)
+
+
+def test_transform_passthrough_and_type_registry(spark):
+    """TRANS_PASSTHROUGH passes input samples straight through; the registry
+    exposes all five declared ADI types (adi_transformation_types.py:1-7)."""
+    from tsdat_spark.transform import TRANSFORMATION_TYPES, transform_passthrough
+
+    assert set(TRANSFORMATION_TYPES) == {
+        "TRANS_AUTO", "TRANS_BIN_AVERAGE", "TRANS_INTERPOLATE",
+        "TRANS_SUBSAMPLE", "TRANS_PASSTHROUGH",
+    }
+    rows = [("s1", D(2022, 1, 1, 0, 10 * i), float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, time timestamp, v double")
+    out = transform_passthrough(df, ["k"], "time", ["v"]).orderBy("label").collect()
+    assert [r["v"] for r in out] == [0.0, 1.0, 2.0, 3.0]
+    assert [r["label"] for r in out] == [r[1] for r in rows]

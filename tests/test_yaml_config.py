@@ -1,0 +1,130 @@
+"""YAML pipeline config front end: linked configs + jsonpointer overrides +
+classname instantiation (ported from tsdat's
+test/config/test_pipeline_config.py and test/config/yaml/pipeline.yaml),
+plus an end-to-end CSV ingest run driven entirely from yaml."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdat_spark.io.converters import StringToDatetime, UnitsConverter
+from tsdat_spark.io.readers import CSVReader, ParquetReader, match_reader
+from tsdat_spark.naming import get_datastream, storage_path
+from tsdat_spark.yaml_config import ConfigError, load_pipeline_yaml
+
+HERE = os.path.dirname(__file__)
+PIPELINE_YAML = os.path.join(HERE, "config_yaml", "pipeline.yaml")
+
+
+def test_pipeline_config_merges_overrides():
+    spec = load_pipeline_yaml(PIPELINE_YAML)
+    # jsonpointer overrides applied (pipeline_config.py:96-114 semantics)
+    assert spec.attrs["location_id"] == "sgp"
+    assert spec.dataset.variables["temp"].attrs["new_attribute"] == "please add this attribute"
+    assert spec.quality[0].exclude == []  # /managers/0/exclude override
+    # linked configs resolved relative to the pipeline yaml
+    assert spec.dataset.ts_col == "time"
+    assert spec.dataset.series_keys == ["conv_id"]
+    assert spec.dataset.variables["temp"].fill_value == -9999
+    assert spec.dataset.variables["temp"].attrs["units"] == "degC"
+    # triggers
+    assert spec.matches_input("2024/transcripts_day1.csv")
+    assert not spec.matches_input("2024/metrics.parquet")
+    # reader dispatch: first-regex-match (default_retriever.py:79-87)
+    assert isinstance(match_reader("a/b.csv", spec.retriever.readers), CSVReader)
+    assert isinstance(match_reader("a/b.parquet", spec.retriever.readers), ParquetReader)
+    assert match_reader("a/b.nc", spec.retriever.readers) is None
+    # converters instantiated from classname nodes
+    time_rule = spec.retriever.rules["time"][0]
+    assert isinstance(time_rule.converters[0], StringToDatetime)
+    assert time_rule.converters[0].format == "%Y-%m-%d %H:%M:%S"
+    temp_rule = spec.retriever.rules["temp"][0]
+    assert temp_rule.pattern == ".*"  # per-input-key rule preserved
+    assert isinstance(temp_rule.converters[0], UnitsConverter)
+    assert temp_rule.converters[0].input_units == "degF"
+    # multi-candidate source names
+    assert spec.retriever.rules["text"][0].source_names == ["message", "text"]
+    # quality managers wired onto the engine registries
+    assert [m.name for m in spec.quality] == [
+        "Require Valid Coordinate Variables", "Below Minimum Temp",
+        "Above Maximum Temp", "Missing Text",
+    ]
+    assert spec.quality[0].apply_to == ["time", "conv_id"]  # COORDS expanded
+    assert spec.quality[0].handlers == [("fail", 0.0)]
+    assert spec.quality[1].handlers == [("record", "Bad")]
+    # storage + datastream naming
+    assert spec.storage.parameters["data_storage_path"] == "data/{datastream}"
+    assert get_datastream(**spec.attrs) == "sgp.transcripts.b1"
+    assert storage_path(spec.storage.data_storage_path, spec.attrs) == "data/sgp.transcripts.b1"
+
+
+def test_pipeline_config_raises_config_error(tmp_path):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("dataset: {path: ./missing.yaml}\nretriever: {}\n")
+    with pytest.raises((ConfigError, FileNotFoundError)):
+        load_pipeline_yaml(bad)
+
+
+def _write_csv(path) -> None:
+    rows = [
+        # timestamp, conversation, turn, role, message, tool, temperature_degF
+        ("2024-01-01 00:00:00", "c1", 0, "user", "hello world", "", 32.0),
+        ("2024-01-01 00:00:20", "c1", 1, "assistant", "hi", "", 212.0),
+        ("2024-01-01 00:00:40", "c1", 2, "tool", "", "search", 50.0),
+        ("2024-01-01 00:01:00", "c2", 0, "user", "question", "", -40.0),
+        ("2024-01-01 00:01:30", "c2", 1, "assistant", "answer", "", 98.6),
+    ]
+    with open(path, "w") as f:
+        f.write("timestamp,conversation,turn,role,message,tool,temperature_degF\n")
+        for r in rows:
+            f.write(",".join(str(v) for v in r) + "\n")
+
+
+def test_yaml_pipeline_e2e_csv_ingest(spark, tmp_path):
+    """pipeline.yaml → retrieve (CSV reader dispatch + StringToDatetime +
+    UnitsConverter) → standardize → QC → store, all driven from yaml."""
+    csv_path = str(tmp_path / "transcripts_day1.csv")
+    _write_csv(csv_path)
+    spec = load_pipeline_yaml(PIPELINE_YAML)
+    assert spec.matches_input(csv_path)
+    table = str(tmp_path / "out")
+
+    res = spec.run(spark, [csv_path], table_path=table)
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in res.df.collect()}
+    assert len(rows) == 5
+    # degF -> degC conversion is pint-exact (test_retrievers.py:118-140 analog)
+    assert abs(rows[("c1", 0)]["temp"] - 0.0) < 1e-9
+    assert abs(rows[("c1", 1)]["temp"] - 100.0) < 1e-9
+    assert abs(rows[("c2", 1)]["temp"] - 37.0) < 1e-9
+    # StringToDatetime with explicit format
+    assert str(rows[("c1", 1)]["time"]) == "2024-01-01 00:00:20"
+    # QC bits: fail_range [0, 60] -> -40 degF (-40 degC) fails min (bit 1),
+    # 212 degF (100 degC) fails max (bit 2)
+    assert rows[("c2", 0)]["qc_temp"] == 1
+    assert rows[("c1", 1)]["qc_temp"] == 2
+    assert rows[("c1", 0)]["qc_temp"] == 0
+    # missing-text check recorded on its own companion column
+    assert rows[("c1", 2)]["qc_text"] == 1 and rows[("c1", 0)]["qc_text"] == 0
+    # stored table + lineage manifest written
+    assert res.manifests and res.manifests[0].n_rows == 5
+    back = spark.read.parquet(table)
+    assert back.count() == 5
+
+
+def test_yaml_pipeline_timezone_conversion(spark, tmp_path):
+    """StringToDatetime timezone=US/Eastern input is normalized to UTC
+    (string_to_datetime.py:63-68)."""
+    csv_path = str(tmp_path / "transcripts_tz.csv")
+    _write_csv(csv_path)
+    spec = load_pipeline_yaml(
+        PIPELINE_YAML,
+        overrides=None,
+    )
+    # rebind the time converter to a non-UTC zone
+    conv = spec.retriever.rules["time"][0].converters
+    conv[0] = StringToDatetime(format=conv[0].format, timezone="America/New_York")
+    res = spec.run(spark, [csv_path])
+    first = res.df.where((F.col("conv_id") == "c1") & (F.col("turn_idx") == 0)).first()
+    # 2024-01-01 00:00 EST == 2024-01-01 05:00 UTC
+    assert str(first["time"]) == "2024-01-01 05:00:00"

@@ -27,3 +27,5 @@ __version__ = "0.1.0"
 
 from .config import DatasetSpec, VariableSpec  # noqa: F401
 from .session import get_spark  # noqa: F401
+from .units import UnitsError, conversion as units_conversion  # noqa: F401
+from .yaml_config import ConfigError, PipelineSpec, load_pipeline_yaml  # noqa: F401

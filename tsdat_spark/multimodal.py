@@ -9,11 +9,13 @@ resize, frame-sample, feature-extract — runs as Arrow-batched
 row, and partitioning follows the parent table (conv/day) so attachment
 ops co-locate with their turns.
 
-The decode kernels themselves are STUBBED in this environment (no
-image/audio libraries in the container — clearly marked below); the
-Spark-side plumbing (schema, batch iteration, deterministic fake features,
-partition behavior) is real and tested. Swapping a real decoder in changes
-one function.
+Decode is REAL for the dependency-free formats implemented in
+:mod:`tsdat_spark.media` (binary PPM, 24-bit BMP, PCM-16 WAV — pure numpy
+parsers): ``extract_features`` runs a true bytes→array→descriptor kernel
+for those codecs. Codecs that genuinely need external libraries (JPEG,
+MP4, …) raise ``MediaError`` at the same dispatch point a real deployment
+would swap PIL/ffmpeg into; the legacy ``fake/1`` codec keeps a
+deterministic hash-derived feature for plumbing/partitioning tests.
 """
 
 from __future__ import annotations
@@ -55,15 +57,57 @@ def attach_fake_media(df: DataFrame, id_cols: list[str], modality: str = "image"
     return df.withColumn("media", blob).withColumn("media_meta", meta)
 
 
-def _decode_stub(blob: bytes, meta: dict) -> np.ndarray:
-    """STUB — the real implementation would be e.g. PIL/torchaudio/ffmpeg
-    decode. This container has no media libraries, so we derive a
-    deterministic fake feature map from the bytes; the signature and batch
-    shape are what a real decoder must satisfy."""
-    if blob is None:
-        raise NotImplementedError("real decode requires a media library; got empty payload")
-    rng = np.frombuffer(blob[:32], dtype=np.uint8).astype(np.float64)
-    return rng / 255.0
+def attach_synth_media(
+    df: DataFrame, id_cols: list[str], codec: str = "image/ppm",
+    width: int = 32, height: int = 24, n_samples: int = 4000,
+) -> DataFrame:
+    """Deterministic REAL payloads (PPM/WAV bytes seeded by the id columns)
+    for exercising the true decode path at test scale. Arrow-batched; any
+    partitioning yields identical bytes per id."""
+    from .media import encode_ppm, encode_wav
+
+    narrow = df.select(*[F.col(c) for c in id_cols],
+                       F.abs(F.xxhash64(*[F.col(c) for c in id_cols])).alias("__seed"))
+    by_name = {f.name: f.dataType.simpleString() for f in narrow.schema.fields}
+    key_schema = ", ".join(f"{c} {by_name[c]}" for c in id_cols)
+    schema = f"{key_schema}, media binary, media_meta struct<modality:string,codec:string,width:int,height:int,n_frames:int,sample_rate:int>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blobs, metas = [], []
+            for seed in pdf["__seed"]:
+                rng = np.random.default_rng(int(seed) % (2**63))
+                if codec.startswith("image/"):
+                    img = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+                    blobs.append(encode_ppm(img))
+                    metas.append(("image", codec, width, height, 1, 0))
+                else:
+                    wave = rng.uniform(-0.8, 0.8, n_samples)
+                    blobs.append(encode_wav(wave, 16000))
+                    metas.append(("audio", codec, 0, 0, 0, 16000))
+            out = pdf[id_cols].copy()
+            out["media"] = blobs
+            out["media_meta"] = [
+                {"modality": m[0], "codec": m[1], "width": m[2], "height": m[3],
+                 "n_frames": m[4], "sample_rate": m[5]} for m in metas
+            ]
+            yield out
+
+    return narrow.mapInPandas(run, schema)
+
+
+def _decode_features(blob: bytes, codec: str, dim: int) -> np.ndarray:
+    """Real decode for the numpy-native formats; ``fake/1`` keeps the
+    deterministic hash-feature path for plumbing tests; anything else is a
+    genuinely external codec and raises (swap PIL/ffmpeg in here)."""
+    from .media import media_features
+
+    if codec == "fake/1":
+        rng = np.frombuffer(blob[:32], dtype=np.uint8).astype(np.float64)
+        return np.resize(rng / 255.0, dim)
+    return np.resize(media_features(bytes(blob), codec, dim), dim)
 
 
 def extract_features(
@@ -79,7 +123,7 @@ def extract_features(
     One ``mapInPandas`` pass; batches of blobs decode vectorized-per-batch,
     no shuffle (features are per-row)."""
     id_struct = [F.col(c) for c in id_cols]
-    narrow = df.select(*id_struct, F.col(media_col).alias("__blob"), F.col(f"{meta_col}.modality").alias("__mod"))
+    narrow = df.select(*id_struct, F.col(media_col).alias("__blob"), F.col(f"{meta_col}.codec").alias("__codec"))
     by_name = {f.name: f.dataType.simpleString() for f in narrow.schema.fields}
     key_schema = ", ".join(f"{c} {by_name[c]}" for c in id_cols)
     schema = f"{key_schema}, feature array<double>, feat_norm double"
@@ -88,14 +132,14 @@ def extract_features(
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = []
-            for blob, mod in zip(pdf["__blob"], pdf["__mod"]):
-                raw = _decode_stub(bytes(blob), {"modality": mod})
-                v = np.resize(raw, dim)
-                feats.append(v.tolist())
+            feats = [
+                _decode_features(blob, codec, dim).tolist()
+                for blob, codec in zip(pdf["__blob"], pdf["__codec"])
+            ]
+            mat = np.asarray(feats, dtype=np.float64)
             out = pdf[id_cols].copy()
             out["feature"] = feats
-            out["feat_norm"] = [float(np.sqrt(np.dot(np.array(f), np.array(f)))) for f in feats]
+            out["feat_norm"] = np.sqrt((mat * mat).sum(axis=1))
             yield out
 
     return narrow.mapInPandas(run, schema)

@@ -51,6 +51,9 @@ _QC_PREFIX = TRANSCRIPTS_CTE
 ORACLES: dict[str, str] = {
     "standardize_transcripts": TRANSCRIPTS_CTE
     + "SELECT conv_id, turn_idx, role, text, tool, ts, latency_us, token_len FROM t",
+    # CSV round trip must reproduce the parquet source exactly (the Spark
+    # side reads a CSV rendering; the oracle reads the original table)
+    "standardize_csv": "SELECT event_id, user_id, event_type, ts, CAST(value AS DOUBLE) AS value, props FROM events",
     "rollup_1m": _ROLLUP_TMPL.format(unit="minute"),
     "rollup_1h": _ROLLUP_TMPL.format(unit="hour"),
     "rollup_1d": _ROLLUP_TMPL.format(unit="day"),

@@ -70,8 +70,12 @@ def run_ingest(
 ) -> IngestResult:
     """standardize → customize hook → QC → finalize hook → (store)."""
     df = standardize(raw, spec, dedup_keys=dedup_keys)
-    df = with_token_len(df)
-    df = with_turn_latency(df, conv_col="conv_id", ts_col=spec.ts_col)
+    # transcript enrichments only apply when the declared schema has the
+    # transcript columns (yaml-configured datasets may not)
+    if "text" in df.columns:
+        df = with_token_len(df)
+    if "conv_id" in df.columns and "turn_idx" in df.columns:
+        df = with_turn_latency(df, conv_col="conv_id", ts_col=spec.ts_col)
     if hook_customize:
         df = hook_customize(df)
     df, bits = apply_qc(df, spec, ctx, managers)

@@ -13,9 +13,11 @@ from .checkers import (  # noqa: F401
 )
 from .handlers import (  # noqa: F401
     DataQualityError,
+    cubic_spline_interp,
     fail_pipeline,
     record_quality_results,
     remove_failed_values,
     sort_by_coordinate,
 )
+from .spline import cubic_spline_fill  # noqa: F401
 from .manager import QCBit, QualityManager, apply_qc  # noqa: F401

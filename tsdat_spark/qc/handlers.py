@@ -75,6 +75,65 @@ def fail_pipeline(
     return df
 
 
+def cubic_spline_interp(
+    df: DataFrame,
+    var: str,
+    mask: Column,
+    series_keys: list[str],
+    order_col: str = "ts",
+    n_points: int = 12,
+    max_gap: int = 6,
+) -> DataFrame:
+    """Replace failed values with a bounded-gap natural-cubic-spline fill
+    (tsdat ``CubicSplineInterp``, ``cubic_spline_interp.py:9-53``; kernel in
+    :mod:`tsdat_spark.qc.spline`).
+
+    One hash repartition on the series keys + sortWithinPartitions, then a
+    single ``mapInPandas`` per partition using sort+boundary numpy slicing —
+    never a per-group Python call. Masked runs longer than ``max_gap`` (or
+    without valid context on both sides) become NULL, matching the
+    reference's NaN semantics.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..rollup.tiers import _group_slices
+    from .spline import cubic_spline_fill
+
+    keys = list(series_keys)
+    is_ts = dict(df.dtypes).get(order_col) == "timestamp"
+    # x coordinate as plain float64 positions, built BEFORE the pandas stage
+    xexpr = F.unix_micros(F.col(order_col)).cast("double") if is_ts else F.col(order_col).cast("double")
+    flagged = (
+        df.withColumn("__fail", F.coalesce(mask, F.lit(False))).withColumn("__x", xexpr)
+    )
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [b for b in batches if not b.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        # sort by (keys, x); _group_slices re-sorts by keys only (stable), so
+        # within-group x order is preserved and boundaries come for free
+        pdf = pdf.sort_values([*keys, "__x"], kind="stable", ignore_index=True)
+        pdf, gstarts, gends = _group_slices(pdf, keys)
+        x = pdf["__x"].to_numpy(np.float64)
+        y = pdf[var].to_numpy(np.float64, na_value=np.nan)
+        m = pdf["__fail"].to_numpy(bool)
+        filled = np.empty_like(y)
+        for s_, e_ in zip(gstarts, gends):
+            filled[s_:e_] = cubic_spline_fill(x[s_:e_], y[s_:e_], m[s_:e_], n_points, max_gap)
+        pdf[var] = filled
+        yield pdf[out_cols]
+
+    staged = flagged.repartition(*keys) if keys else flagged.coalesce(1)
+    return staged.mapInPandas(run, schema)
+
+
 def sort_by_coordinate(
     df: DataFrame, by: list[str], ascending: bool = True
 ) -> DataFrame:

@@ -117,6 +117,13 @@ def apply_qc(
                     df = handlers.fail_pipeline(df, var, mask, tolerance=tolerance, context=f" [{mgr.name}]")
                 elif kind == "sort":
                     df = handlers.sort_by_coordinate(df, list(ctx.order_cols))
+                elif kind == "cubic_spline":
+                    n_points = action[1] if len(action) > 1 else 12
+                    max_gap = action[2] if len(action) > 2 else 6
+                    df = handlers.cubic_spline_interp(
+                        df, var, mask, list(ctx.series_keys),
+                        order_col=ctx.order_cols[-1], n_points=n_points, max_gap=max_gap,
+                    )
                 else:
                     raise ValueError(f"unknown handler action {kind!r}")
     return df, registry

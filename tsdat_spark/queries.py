@@ -87,6 +87,48 @@ def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_standardize_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion path (tsdat CSVReader + reader dispatch +
+    StringToDatetime, csv_reader.py:10-27 / default_retriever.py:79-87 /
+    string_to_datetime.py:49-88): the events table is rendered to CSV once
+    per sf_dir (timestamps as '%Y-%m-%d %H:%M:%S.%f' strings), then read
+    back through the engine's regex reader dispatch with a declared schema
+    (no inference pass) and an explicit-format datetime parse. The oracle is
+    the original parquet — so the round trip (quote/escape, microsecond
+    parse, double repr) must be exact."""
+    import hashlib
+    import os
+
+    from .io.converters import StringToDatetime
+    from .io.readers import CSVReader, read_input
+
+    cache = f"/tmp/tsdat_spark_events_csv_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.csv"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        ev = _events(spark, sf_dir)
+        (
+            ev.select("event_id", "user_id", "event_type", "ts", "value", "props")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .csv(cache)
+        )
+    readers = [
+        (
+            r".*\.csv$",
+            CSVReader(schema="event_id bigint, user_id bigint, event_type string, ts string, value double, props string"),
+        )
+    ]
+    raw = read_input(spark, cache, readers)
+    parse_ts = StringToDatetime(format="%Y-%m-%d %H:%M:%S.%f", timezone="UTC")
+    return raw.select(
+        "event_id", "user_id", "event_type",
+        parse_ts(F.col("ts")).alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        "props",
+    )
+
+
 def _discrete_quantile(col: str, q: float):
     """Lower discrete quantile: element at ⌊(n−1)·q⌋ of the sorted non-null
     values. Integer-exact, order-insensitive — the oracle-safe percentile."""
@@ -245,10 +287,14 @@ def q_interpolate_1h(spark, sf_dir):
 
 def q_unit_convert(spark, sf_dir):
     """tsdat UnitsConverter semantics (units_converter.py:30-114): the
-    pint-derived scale/offset is computed on the driver, applied as pure
-    Catalyst column math — here degF→degC on the value column."""
+    pint-derived scale/offset comes from the general unit table
+    (tsdat_spark.units — arbitrary affine/linear pairs), computed on the
+    driver and applied as pure Catalyst column math — here degF→degC."""
+    from .units import conversion
+
     t = transcripts(spark, sf_dir)
-    scale, offset = 5.0 / 9.0, -32.0 * 5.0 / 9.0  # driver-side "pint" result
+    scale, offset = conversion("degF", "degC")
+    assert (scale, offset) == (5.0 / 9.0, -32.0 * 5.0 / 9.0)  # oracle-pinned
     return t.select(
         "conv_id", "turn_idx",
         F.round(F.col("value") * scale + offset, 6).alias("value_degc"),

@@ -119,7 +119,14 @@ def _merge_partials(partial: DataFrame, keys: list[str], final_schema: str, comp
         yield out[[*keys, "n_turns", "token_len_sum", "n_latency",
                    "latency_p50", "latency_p95", "latency_tdigest"]]
 
-    return partial.repartition(*keys).mapInPandas(merge_partition, final_schema)
+    # Explicit partition count (= session shuffle partitions): repartition
+    # by columns alone is AQE-coalescible toward 64 MB targets, which
+    # serializes this Python-heavy merge stage onto a handful of cores at
+    # small-to-medium tier sizes. Partials have no residual skew (hot keys
+    # were already collapsed per upstream batch), so fixed-width hash
+    # partitioning is safe.
+    n_shuffle = int(partial.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return partial.repartition(n_shuffle, *keys).mapInPandas(merge_partition, final_schema)
 
 
 def rollup_tier(

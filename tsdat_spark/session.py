@@ -47,7 +47,14 @@ def get_spark(
         # counts (GC thrash grows with concurrent tasks)
         .config("spark.driver.memory", os.environ.get("TSDAT_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Arrow/pandas stages cost ~10x more CPU per byte than JVM scans, so
+        # scan splits and post-shuffle partitions are sized for the Python
+        # path: 16 MB splits keep a 32-core box fed at tier-table sizes
+        # (128 MB default gives a 300 MB tier table only ~3 splits → 3 busy
+        # cores). On a 1000-executor cluster these scale the same way:
+        # splits >= ~4x total cores.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(16 * 1024 * 1024))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
     )
     for k, v in (extra_conf or {}).items():

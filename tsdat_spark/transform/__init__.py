@@ -26,3 +26,23 @@ def transform_auto(df, grid, series_keys, ts_col, value_cols, filter_bad_qc=Fals
         return bin_average(df, grid, series_keys, ts_col, value_cols,
                            filter_bad_qc=filter_bad_qc, qc=qc)
     return interpolate_linear(df, grid, series_keys, ts_col, value_cols, range_s=grid.interval_s)
+
+
+def transform_passthrough(df, series_keys, ts_col, value_cols):
+    """tsdat TRANS_PASSTHROUGH (``adi_transformation_types.py:7``,
+    ``adi_transformer.py:129``: "all values passed directly through from the
+    input, no transform takes place"): input samples ARE the output grid —
+    a pure projection, no shuffle, no UDF."""
+    from pyspark.sql import functions as F
+
+    return df.select(*series_keys, F.col(ts_col).alias("label"), *value_cols)
+
+
+#: the five declared ADI transformation types (adi_transformation_types.py:1-7)
+TRANSFORMATION_TYPES = {
+    "TRANS_AUTO": transform_auto,
+    "TRANS_BIN_AVERAGE": bin_average,
+    "TRANS_INTERPOLATE": interpolate_linear,
+    "TRANS_SUBSAMPLE": nearest_neighbor,
+    "TRANS_PASSTHROUGH": transform_passthrough,
+}

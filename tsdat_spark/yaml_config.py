@@ -1,0 +1,394 @@
+"""Declarative YAML pipeline config — tsdat's UX surface on the Spark engine.
+
+tsdat pipelines are driven by ``pipeline.yaml`` files that link retriever /
+dataset / quality / storage configs (inline or by ``path:`` +
+jsonpointer ``overrides:``) and instantiate plugin classes depth-first from
+``classname:`` nodes:
+
+- ``PipelineConfig.from_yaml`` + override merging —
+  ``tsdat/config/pipeline/pipeline_config.py:96-140``
+- ``recursive_instantiate`` — ``tsdat/config/utils/recursive_instantiate.py:17-82``
+- per-input-key retrieval rules —
+  ``tsdat/io/retrievers/input_key_retrieval_rules.py:13-36``
+
+This module reads the same yaml shapes and instantiates *this* engine's
+components: tsdat classnames are mapped onto the Spark-native registries
+(readers, converters, checkers, handler actions, storage); unrecognized
+classnames are imported as dotted paths so user extensions keep working
+(the ``classname:`` plugin contract).
+
+The result is a :class:`PipelineSpec` whose :meth:`PipelineSpec.run` executes
+retrieve → standardize → QC → store as ONE lazy DataFrame program via
+:func:`tsdat_spark.pipeline.run_ingest`.
+"""
+
+from __future__ import annotations
+
+import importlib
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+from jsonpointer import set_pointer
+
+from .config import DatasetSpec, VariableSpec
+from .io.converters import StringToDatetime, UnitsConverter
+from .io.readers import CSVReader, JSONReader, ParquetReader
+from .qc import checkers as qc_checkers
+from .qc.manager import QualityManager, build_threshold_checker
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def read_yaml(path: str | Path) -> dict:
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    if not isinstance(data, dict):
+        raise ConfigError(f"{path}: expected a yaml mapping")
+    return data
+
+
+def _apply_overrides(doc: dict, overrides: dict[str, Any] | None) -> dict:
+    for pointer, value in (overrides or {}).items():
+        set_pointer(doc, pointer, value)
+    return doc
+
+
+def _resolve_linked(node: Any, base_dir: Path) -> dict:
+    """Resolve tsdat's Overrideable shape: ``{path: ..., overrides: {...}}``
+    (pipeline_config.py:96-114); inline mappings pass through."""
+    if isinstance(node, dict) and "path" in node and set(node) <= {"path", "overrides"}:
+        p = Path(node["path"])
+        if not p.is_absolute():
+            p = (base_dir / p).resolve()
+        return _apply_overrides(read_yaml(p), node.get("overrides"))
+    if isinstance(node, dict):
+        return node
+    raise ConfigError(f"expected mapping or {{path, overrides}}, got {node!r}")
+
+
+# ---------------------------------------------------------------------------
+# classname registry: tsdat plugin names -> this engine's components
+# ---------------------------------------------------------------------------
+
+def _mk_csv_reader(params: dict) -> CSVReader:
+    # tsdat CSVReader carries pandas read_csv kwargs (csv_reader.py:19-23);
+    # map the common ones onto Spark csv options.
+    kw = dict(params.get("read_csv_kwargs", {}))
+    sep = kw.pop("sep", ",")
+    header = kw.pop("header", 0) is not None
+    return CSVReader(header=header, sep=sep, schema=params.get("schema"),
+                     options=params.get("options", {}))
+
+
+def _mk_archive_reader(kind: str):
+    def make(params: dict):
+        from .io.readers import ArchiveReader
+
+        return ArchiveReader(
+            kind=kind,
+            schema=params["schema"],
+            member_pattern=params.get("member_pattern", r".*\.csv$"),
+            sep=params.get("sep", ","),
+        )
+
+    return make
+
+
+_READER_FACTORIES = {
+    "CSVReader": _mk_csv_reader,
+    "ParquetReader": lambda p: ParquetReader(),
+    "JSONReader": lambda p: JSONReader(schema=p.get("schema"), options=p.get("options", {})),
+    "TarReader": _mk_archive_reader("tar"),
+    "ZipReader": _mk_archive_reader("zip"),
+}
+
+_CONVERTER_FACTORIES = {
+    "StringToDatetime": lambda p: StringToDatetime(
+        format=p.get("format"), timezone=p.get("timezone")
+    ),
+    "UnitsConverter": lambda p: UnitsConverter(
+        input_units=p.get("input_units"), output_units=p.get("output_units")
+    ),
+    # NearestNeighbor as an io converter is a grid transform; retrieval-time
+    # application is a no-op column pass-through here (the transform layer
+    # owns reindexing) — kept for config compatibility.
+    "NearestNeighbor": lambda p: (lambda col: col),
+}
+
+_HANDLER_ACTIONS = {
+    # tsdat handler classname -> (action tuple builder)
+    "RecordQualityResults": lambda p: ("record", p.get("assessment", "Bad")),
+    "RemoveFailedValues": lambda p: ("remove",),
+    "FailPipeline": lambda p: ("fail", p.get("tolerance", 0.0)),
+    "SortDatasetByCoordinate": lambda p: ("sort",),
+    "CubicSplineInterp": lambda p: (
+        "cubic_spline",
+        p.get("n_points", 12),
+        p.get("max_gap", 6),
+    ),
+    "DataQualityError": lambda p: ("fail", p.get("tolerance", 0.0)),
+}
+
+
+def _leaf(classname: str) -> str:
+    return classname.rsplit(".", 1)[-1]
+
+
+def _import_string(classname: str):
+    mod, _, name = classname.rpartition(".")
+    try:
+        return getattr(importlib.import_module(mod), name)
+    except Exception as exc:  # pragma: no cover - extension path
+        raise ConfigError(f"cannot import classname {classname!r}: {exc}") from exc
+
+
+def _instantiate_reader(node: dict):
+    leaf = _leaf(node["classname"])
+    params = node.get("parameters", {})
+    if leaf in _READER_FACTORIES:
+        return _READER_FACTORIES[leaf](params)
+    return _import_string(node["classname"])(**params)
+
+
+def _instantiate_converter(node: dict):
+    leaf = _leaf(node["classname"])
+    params = {k: v for k, v in node.items() if k not in ("classname", "parameters")}
+    params.update(node.get("parameters", {}))
+    if leaf in _CONVERTER_FACTORIES:
+        return _CONVERTER_FACTORIES[leaf](params)
+    return _import_string(node["classname"])(**params)
+
+
+def _checker_factory(node: dict):
+    """Map a tsdat checker classname to this engine's checker callable
+    (signature: (df, ctx, var, spec) -> Column | None)."""
+    leaf = _leaf(node["classname"])
+    params = node.get("parameters", {})
+    if leaf in qc_checkers.THRESHOLD_CHECKERS:
+        return build_threshold_checker(leaf)
+    if leaf == "CheckMissing":
+        def _missing(df, ctx, var, spec):
+            vspec = spec.variables.get(var)
+            kind = "float"
+            if vspec is not None and vspec.spark_type in ("string",):
+                kind = "string"
+            elif var == spec.ts_col or (vspec and vspec.spark_type == "timestamp"):
+                kind = "timestamp"
+            elif vspec and vspec.spark_type in ("int", "long", "smallint", "tinyint"):
+                kind = "int"
+            from pyspark.sql import functions as F
+            fv = vspec.fill_value if vspec else None
+            return qc_checkers.check_missing(F.col(var), fill_value=fv, kind=kind)
+        return _missing
+    if leaf == "CheckMonotonic":
+        direction = "auto"
+        if params.get("require_increasing"):
+            direction = "increasing"
+        elif params.get("require_decreasing"):
+            direction = "decreasing"
+        def _mono(df, ctx, var, spec, direction=direction):
+            from pyspark.sql import functions as F
+            return qc_checkers.check_monotonic(ctx, F.col(var), direction=direction)
+        return _mono
+    if leaf == "CheckArrayMaskThreshold":
+        def _mask(df, ctx, var, spec):
+            from pyspark.sql import functions as F
+            return qc_checkers.check_mask_threshold(
+                F.col(var), params["threshold"], params.get("comparator", ">=")
+            )
+        return _mask
+    return _import_string(node["classname"])(**params)
+
+
+# ---------------------------------------------------------------------------
+# config section models
+# ---------------------------------------------------------------------------
+
+@dataclass
+class VarRule:
+    """One retrieval rule: candidate source names + converters, optionally
+    restricted to input keys matching ``pattern`` (per-input-key rules)."""
+
+    pattern: str | None  # None = applies to every input key
+    source_names: list[str]
+    converters: list = field(default_factory=list)
+
+    def matches(self, input_key: str) -> bool:
+        return self.pattern is None or re.match(self.pattern, input_key) is not None
+
+
+@dataclass
+class RetrieverSpec:
+    readers: list[tuple[str, object]]  # (pattern, reader), first match wins
+    rules: dict[str, list[VarRule]]  # output variable -> prioritized rules
+
+
+@dataclass
+class StorageSpec:
+    kind: str = "filesystem"
+    parameters: dict = field(default_factory=dict)
+
+    @property
+    def data_storage_path(self) -> str | None:
+        return self.parameters.get("data_storage_path")
+
+
+@dataclass
+class PipelineSpec:
+    classname: str
+    triggers: list[str]
+    retriever: RetrieverSpec
+    dataset: DatasetSpec
+    quality: list[QualityManager]
+    storage: StorageSpec
+    attrs: dict = field(default_factory=dict)
+
+    def matches_input(self, input_key: str) -> bool:
+        return any(re.match(t, input_key) for t in self.triggers)
+
+    def run(self, spark, input_keys: list[str], table_path: str | None = None):
+        """retrieve → standardize → QC → store (tsdat IngestPipeline.run)."""
+        from .pipeline import run_ingest
+        from .qc.checkers import QCContext
+        from .retrieval import perform_data_retrieval
+
+        raw = perform_data_retrieval(spark, input_keys, self.retriever, self.dataset)
+        ctx = QCContext(series_keys=tuple(self.dataset.series_keys), order_cols=(self.dataset.ts_col,))
+        return run_ingest(raw, self.dataset, ctx, self.quality, table_path=table_path)
+
+
+def _parse_rules(section: dict, ts_col_hint: str | None = None) -> dict[str, list[VarRule]]:
+    rules: dict[str, list[VarRule]] = {}
+    for var, node in (section or {}).items():
+        if node is None:
+            node = {}
+        var_rules: list[VarRule] = []
+        is_per_key = node and all(isinstance(v, dict) and ("name" in v or "data_converters" in v)
+                                  for v in node.values()) and "name" not in node
+        items = node.items() if is_per_key else [(None, node)]
+        for pattern, rule in items:
+            names = rule.get("name", var)
+            if isinstance(names, str):
+                names = [names]
+            convs = [_instantiate_converter(c) for c in rule.get("data_converters", [])]
+            var_rules.append(VarRule(pattern, list(names), convs))
+        rules[var] = var_rules
+    return rules
+
+
+def _parse_retriever(doc: dict) -> RetrieverSpec:
+    readers = [(pat, _instantiate_reader(node)) for pat, node in (doc.get("readers") or {}).items()]
+    rules = {**_parse_rules(doc.get("coords", {})), **_parse_rules(doc.get("data_vars", {}))}
+    return RetrieverSpec(readers=readers, rules=rules)
+
+
+_TIME_NAMES = ("time", "ts", "timestamp")
+
+
+def _parse_dataset(doc: dict) -> DatasetSpec:
+    attrs = doc.get("attrs", {})
+    coords = doc.get("coords", {})
+    data_vars = doc.get("data_vars", {})
+    ts_col = next((c for c in coords if c.lower() in _TIME_NAMES), "time")
+    series_keys = [c for c in coords if c != ts_col]
+    variables: dict[str, VariableSpec] = {}
+    for name, node in {**coords, **data_vars}.items():
+        if name == ts_col:
+            continue
+        node = node or {}
+        vattrs = dict(node.get("attrs") or {})
+        fill = vattrs.pop("_FillValue", None)
+        variables[name] = VariableSpec(
+            name=name,
+            dtype=node.get("dtype", "double"),
+            fill_value=fill,
+            attrs=vattrs,
+            static_value=node.get("data"),
+        )
+    spec = DatasetSpec(
+        name=attrs.get("dataset_name", doc.get("name", "dataset")),
+        ts_col=ts_col,
+        series_keys=series_keys,
+        variables=variables,
+    )
+    spec.attrs = attrs  # type: ignore[attr-defined] — carried for datastream naming
+    return spec
+
+
+def _expand_apply_to(apply_to: list[str], dataset: DatasetSpec) -> list[str]:
+    out: list[str] = []
+    for a in apply_to:
+        if a == "COORDS":
+            out += [dataset.ts_col, *dataset.series_keys]
+        elif a == "DATA_VARS":
+            out += [v for v in dataset.variables if v not in dataset.series_keys]
+        else:
+            out.append(a)
+    return out
+
+
+def _parse_quality(doc: dict, dataset: DatasetSpec) -> list[QualityManager]:
+    managers = []
+    for m in doc.get("managers", []):
+        checker = _checker_factory(m["checker"])
+        actions = []
+        for h in m.get("handlers", []):
+            leaf = _leaf(h["classname"])
+            params = h.get("parameters", {})
+            if leaf in _HANDLER_ACTIONS:
+                actions.append(_HANDLER_ACTIONS[leaf](params))
+            else:
+                actions.append(("custom", _import_string(h["classname"])(**params)))
+        managers.append(
+            QualityManager(
+                name=m.get("name", _leaf(m["checker"]["classname"])),
+                checker=checker,
+                apply_to=_expand_apply_to(m.get("apply_to", []), dataset),
+                exclude=m.get("exclude", []),
+                handlers=actions,
+            )
+        )
+    return managers
+
+
+def _parse_storage(doc: dict) -> StorageSpec:
+    leaf = _leaf(doc.get("classname", "FileSystem"))
+    kind = {"FileSystem": "filesystem", "FileSystemS3": "filesystem",
+            "IcebergStorage": "iceberg"}.get(leaf, "filesystem")
+    return StorageSpec(kind=kind, parameters=doc.get("parameters", {}))
+
+
+def load_pipeline_yaml(path: str | Path, overrides: dict[str, Any] | None = None) -> PipelineSpec:
+    """Read a tsdat-shape pipeline.yaml and instantiate this engine's
+    pipeline components (see module docstring)."""
+    path = Path(path)
+    doc = _apply_overrides(read_yaml(path), overrides)
+    base = path.parent
+    try:
+        dataset = _parse_dataset(_resolve_linked(doc["dataset"], base))
+        retriever = _parse_retriever(_resolve_linked(doc["retriever"], base))
+        quality = _parse_quality(_resolve_linked(doc.get("quality", {"managers": []}), base), dataset)
+        storage = _parse_storage(_resolve_linked(doc.get("storage", {}), base))
+        # retrieval rules carry candidate source names into the dataset spec
+        for var, rules in retriever.rules.items():
+            if var in dataset.variables and rules:
+                dataset.variables[var].source_names = rules[0].source_names
+        triggers = [str(t) for t in doc.get("triggers", [])]
+        return PipelineSpec(
+            classname=doc.get("classname", "tsdat_spark.PipelineSpec"),
+            triggers=triggers,
+            retriever=retriever,
+            dataset=dataset,
+            quality=quality,
+            storage=storage,
+            attrs=dict(getattr(dataset, "attrs", {}) or {}),
+        )
+    except ConfigError:
+        raise
+    except Exception as exc:
+        raise ConfigError(f"error instantiating pipeline config {path}: {exc}") from exc
