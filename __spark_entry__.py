@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": Q.q_lsh_pairs,
         "simhash16": Q.q_simhash16,
         "jaccard_pairs": Q.q_jaccard_pairs,
+        "fingerprint_winnow": Q.q_fingerprint_winnow,
         "knn_cosine": Q.q_knn_cosine,
         "embedding_top1": Q.q_embedding_top1,
         "ann_lsh": Q.q_ann_lsh,

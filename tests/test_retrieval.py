@@ -130,3 +130,24 @@ def test_archive_reader_via_yaml_dispatch(spark, tmp_path):
     readers = [(r".*\.zip$", ZipReader("time bigint, a double"))]
     out = read_input(spark, zip_path, readers).collect()
     assert len(out) == 1 and out[0]["a"] == 1.25
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two documents sharing a
+    run of >= window+n-1 tokens share at least one fingerprint; disjoint
+    documents share none."""
+    from tsdat_spark.text.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = window+n-1
+    rows = [
+        (1, f"intro words {shared} tail one"),
+        (2, f"completely different start {shared}"),
+        (3, "unrelated content with nothing matching at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = winnow_fingerprints(df, n=3, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]  # shared run detected
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])

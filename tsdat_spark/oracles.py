@@ -290,6 +290,15 @@ SELECT doc_id,
 FROM ht
 """
 
+# winnowing: window-of-4 minima over the same 3-gram hash array as minhash
+ORACLES["fingerprint_winnow"] = _HASH_CTE + """
+SELECT doc_id,
+       unnest(list_distinct(list_transform(
+         generate_series(1, greatest(len(hv) - 3, 1)),
+         i -> list_min(hv[i:i+3])))) AS fingerprint
+FROM hs
+"""
+
 ORACLES["jaccard_pairs"] = """
 WITH d AS (
   SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS toks

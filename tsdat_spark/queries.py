@@ -397,6 +397,16 @@ def q_simhash16(spark, sf_dir):
     return simhash(d.select("doc_id", "text"), "text", bits=16).drop("text")
 
 
+def q_fingerprint_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (rolling-hash k-gram minima; the
+    shared-substring detection primitive for training-data contamination
+    checks)."""
+    from .text.dedup import winnow_fingerprints
+
+    d = _documents(spark, sf_dir)
+    return winnow_fingerprints(d.select("doc_id", "text"), n=3, window=4)
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard similarity for same-source document pairs."""
     from .text.dedup import jaccard_pairs

@@ -150,3 +150,33 @@ def jaccard_pairs(
         F.round(jac, 6).alias("jaccard"),
     )
     return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every token n-gram, slide a window of ``window``
+    hashes, keep the minimum of each window; the distinct selected hashes
+    are the document's fingerprint set (guaranteed to catch any shared
+    substring of >= window+n-1 tokens between documents).
+
+    One codegen'd map per doc (higher-order functions over the shingle-hash
+    array) + an explode — no shuffle until the caller aggregates or joins
+    fingerprints. Docs shorter than the window yield one whole-doc window.
+    """
+    # materialize the hash array behind a projection boundary: referencing
+    # the raw expression inside the window lambda would re-evaluate the
+    # whole shingle+hash pipeline per window index (O(len²·hash))
+    hashed = df.select(F.col(id_col), F.transform(shingles(F.col(text_col), n), char_hash).alias("__hs"))
+    hs = F.col("__hs")
+    m = F.size(hs)
+    win_min = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - window + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(hs, i, window)),
+    )
+    return hashed.select(F.col(id_col), F.explode(F.array_distinct(win_min)).alias("fingerprint"))
