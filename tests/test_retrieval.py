@@ -151,3 +151,37 @@ def test_winnow_fingerprints_shared_substring_guarantee(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert by_doc[1] & by_doc[2]  # shared run detected
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_a2e_csv_reader(spark, tmp_path):
+    """A2e metadata-header CSV (a2e_csv_reader.py:14-84): header=N pointer,
+    key=value globals, var:attr=value metadata, dims from the filename."""
+    from tsdat_spark.io.readers import A2eCSVReader, a2e_dims_from_filename, read_a2e_header
+
+    content = "\n".join([
+        "header=6",
+        'title="Buoy met"',
+        'location_id="z07"',
+        "time:dtype=str",
+        "temp:dtype=float64",
+        'temp:units="degC"',
+        "time,temp",
+        "2022-11-17 00:10:00.000000,1.5",
+        "2022-11-17 00:20:00.000000,2.5",
+        "",
+    ])
+    name = "buoy.z07.a0.20221117.001000.metocean.time.1d.a2e.csv"
+    path = str(tmp_path / name)
+    with open(path, "w") as f:
+        f.write(content)
+
+    assert a2e_dims_from_filename(name) == ["time"]
+    hdr, g, v, d, cols = read_a2e_header(path)
+    assert hdr == 6 and g["title"] == "Buoy met" and g["location_id"] == "z07"
+    assert v["temp"]["units"] == "degC" and d["temp"] == "float64"
+    assert cols == ["time", "temp"]
+
+    out = A2eCSVReader().read(spark, path).orderBy("time").collect()
+    assert [r["temp"] for r in out] == [1.5, 2.5]
+    assert str(out[0]["time"]) == "2022-11-17 00:10:00"
+    assert dict(A2eCSVReader().read(spark, path).dtypes)["time"] == "timestamp"

@@ -201,3 +201,106 @@ def TarReader(schema: str, **kw) -> ArchiveReader:
 
 def ZipReader(schema: str, **kw) -> ArchiveReader:
     return ArchiveReader(kind="zip", schema=schema, **kw)
+
+
+# ---------------------------------------------------------------------------
+# A2e CSV: metadata-header CSV files (a2e_csv_reader.py:14-84). Layout:
+#   line 0:            header=<N>       (data column header is file line N)
+#   lines 1..N-1:      key=value        global attributes
+#                      var:attr=value   per-variable attributes (incl. dtype)
+#   line N:            csv column header, data follows
+# Dims ride in the filename: <...>.time.1d.a2e.csv / <...>.time.depth.2d...
+# ---------------------------------------------------------------------------
+
+_A2E_META_RE = re.compile(r"^([\w\s]+)=(.+)$", re.MULTILINE)
+_A2E_VAR_RE = re.compile(r"^([\w\s]+):(\w+)=(.+)$", re.MULTILINE)
+
+
+def a2e_dims_from_filename(input_key: str) -> list[str]:
+    """buoy.z07.a0.20221117.001000.metocean.time.1d.a2e.csv → ['time']."""
+    parts = input_key.split(".")
+    n_dims = int(parts[-3][:-1])
+    return parts[-3 - n_dims : -3]
+
+
+def parse_a2e_metadata(text: str):
+    """→ (global_attrs, var_attrs, dtypes) from the metadata block."""
+    global_attrs: dict[str, str] = {}
+    var_attrs: dict[str, dict[str, str]] = {}
+    dtypes: dict[str, str] = {}
+    for var, att, val in _A2E_VAR_RE.findall(text):
+        val = val.strip('"')
+        if att == "dtype":
+            dtypes[var] = val
+        else:
+            var_attrs.setdefault(var, {})[att] = val
+    for key, val in _A2E_META_RE.findall(text):
+        if ":" not in key:
+            global_attrs[key] = val.strip('"')
+    return global_attrs, var_attrs, dtypes
+
+
+def read_a2e_header(path: str):
+    """Driver-side header read of ONE file (the metadata block is tiny).
+    → (header_line_idx, global_attrs, var_attrs, dtypes, columns)."""
+    with open(path) as f:
+        first = f.readline()
+        header_idx = int(first.split("=")[1])
+        lines = [f.readline() for _ in range(header_idx)]
+    meta_text = "".join(lines[: header_idx - 1])
+    g, v, d = parse_a2e_metadata(meta_text)
+    columns = [c.strip() for c in lines[header_idx - 1].strip().split(",")]
+    return header_idx, g, v, d, columns
+
+
+@dataclass(frozen=True)
+class A2eCSVReader:
+    """Distributed A2e reader: the schema comes from ONE file's metadata
+    block (driver-side peek — on an object store this would go through the
+    Hadoop FS API); the data parse is a binaryFile scan + per-file pandas
+    parse, so a directory of day-files fans out across executors. Global /
+    variable attributes are exposed via :func:`read_a2e_header`."""
+
+    time_col: str = "time"
+    time_format: str = "%Y-%m-%d %H:%M:%S.%f"
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        import glob as _glob
+        import io as _io
+        import os
+        from typing import Iterator
+
+        import pandas as pd
+
+        if os.path.isdir(path):
+            candidates = sorted(_glob.glob(os.path.join(path, "*.csv")))
+        else:
+            candidates = sorted(_glob.glob(path)) or [path]
+        header_idx, _, _, dtypes, columns = read_a2e_header(candidates[0])
+
+        from ..config import spark_dtype
+
+        def ddl_type(col: str) -> str:
+            if col == self.time_col:
+                return "timestamp"
+            return spark_dtype(dtypes.get(col, "double"))
+
+        schema = ", ".join(f"{c} {ddl_type(c)}" for c in columns)
+        time_col, time_format = self.time_col, self.time_format
+        pd_dtypes = {c: dtypes[c] for c in columns if c in dtypes and c != time_col}
+
+        blobs = spark.read.format("binaryFile").load(
+            path if not os.path.isdir(path) else os.path.join(path, "*.csv")
+        ).select("content")
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for blob in pdf["content"]:
+                    text = bytes(blob).decode()
+                    hdr = int(text.split("\n", 1)[0].split("=")[1])
+                    inner = pd.read_csv(_io.StringIO(text), header=hdr, dtype=pd_dtypes)
+                    if time_col in inner.columns:
+                        inner[time_col] = pd.to_datetime(inner[time_col], format=time_format)
+                    yield inner[columns]
+
+        return blobs.mapInPandas(parse, schema)
