@@ -83,3 +83,81 @@ def test_windowed_counts_matches_batch(spark, turns, tmp_path):
     for k, e in exp.items():
         assert got[k]["n_turns"] == e["n_turns"]
         assert (got[k]["token_len_sum"] or 0) == (e["token_len_sum"] or 0)
+
+
+def test_stateful_sessionize_stream(spark, turns, tmp_path):
+    """applyInPandasWithState session windows: sessions emitted exactly once
+    when closed, and sessions spanning a micro-batch boundary merge through
+    the group state. Expected = batch windowed sessionize (ts order) minus
+    each conversation's still-open tail session."""
+    from pyspark.sql import Window as W
+
+    from tsdat_spark.streaming import sessionize_stream
+
+    import datetime as dt
+
+    # purpose-built multi-session series: 4 convs x 40 turns, a >30min gap
+    # every 8 turns -> 5 sessions per conv, spread over hours so the mid-way
+    # cut leaves closed sessions on BOTH sides and an open one spanning it
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for c in range(4):
+        for i in range(40):
+            ts = base + dt.timedelta(seconds=c * 7 + i * 60 + (i // 8) * 2400)
+            rows.append((f"s{c}", i, ts, i % 7 + 1))
+    sess_turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, token_len int"
+    )
+    sess_turns.persist(); sess_turns.count()
+    turns = sess_turns  # shadow the fixture: everything below uses this table
+
+    src = str(tmp_path / "sess_src")
+    # two SEQUENTIAL drops split on time: the query processes drop 1 as one
+    # micro-batch (open sessions land in group state), then drop 2 arrives
+    # and those spanning sessions must merge THROUGH the state.
+    cut = turns.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    turns.where(F.col("ts") <= cut).write.mode("overwrite").parquet(src)
+
+    schema = turns.schema.simpleString()[7:-1].replace(":", " ").replace(",", ", ")
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = (
+        sessionize_stream(stream2, gap_s=1800)
+        .writeStream.format("memory").queryName("sessions2")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "sess_ckpt2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    n_after_drop1 = spark.sql("select count(*) from sessions2").first()[0]
+    turns.where(F.col("ts") > cut).write.mode("append").parquet(src)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        (r["conv_id"], r["session_idx"]): r
+        for r in spark.sql("select * from sessions2").collect()
+    }
+    # both micro-batches emitted something: state really spanned batches
+    assert 0 < n_after_drop1 < len(got)
+
+    # expected: batch sessionize in ts order, minus each conv's tail session
+    w = W.partitionBy("conv_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = turns.withColumn(
+        "session_idx", F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0)) - 1
+    )
+    agg = sess.groupBy("conv_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.coalesce(F.sum("token_len"), F.lit(0)).alias("token_len_sum"),
+    )
+    last = agg.groupBy("conv_id").agg(F.max("session_idx").alias("mx"))
+    closed = agg.join(last, "conv_id").where(F.col("session_idx") < F.col("mx"))
+    exp = {(r["conv_id"], r["session_idx"]): r for r in closed.collect()}
+
+    assert got.keys() == exp.keys()
+    for k, e in exp.items():
+        g = got[k]
+        assert (g["n_turns"], g["token_len_sum"]) == (e["n_turns"], e["token_len_sum"])
+        assert g["session_start"] == e["session_start"] and g["session_end"] == e["session_end"]

@@ -104,3 +104,107 @@ def stream_windowed_counts(
         .select(F.col("w.start").alias("bin_start"), *series_keys,
                 "n_turns", "token_len_sum", "n_latency")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator: session windows with a gap timeout,
+# via applyInPandasWithState (the engine's batch sessionize semantics —
+# queries.q_sessionize — kept exactly: a session closes when the gap since
+# the previous turn of the conversation exceeds gap_s).
+# ---------------------------------------------------------------------------
+
+_SESS_STATE = (
+    "session_idx long, session_start long, last_us long, n_turns long, token_sum long"
+)
+_SESS_OUT = (
+    "conv_id string, session_idx long, n_turns long, "
+    "session_start timestamp, session_end timestamp, token_len_sum long"
+)
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    gap_s: int = 1800,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    token_col: str = "token_len",
+):
+    """Stateful streaming sessionization (gap > ``gap_s`` starts a new
+    session). Emits each session exactly once, when it is CLOSED by a later
+    turn of the same conversation; the open tail session rides in the group
+    state across micro-batches (so sessions spanning batch boundaries merge
+    correctly). Per-batch work is vectorized numpy (gap boundaries via
+    flatnonzero + reduceat), never a per-row Python loop.
+
+    Arrival contract: micro-batches must be per-key time-ordered (each
+    batch's turns for a conversation are no earlier than the previous
+    batch's) — the standard file-drop / log-append premise that watermarked
+    streaming assumes. Disorder WITHIN a batch is fine (rows are sorted
+    per batch); disorder ACROSS batches would need fragment-merge state +
+    event-time-timeout emission, which this operator intentionally trades
+    away for exactly-one-emission-per-closed-session simplicity.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(gap_s) * 1_000_000
+
+    def fn(key, pdfs, state):
+        chunks = [p for p in pdfs if not p.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col, ignore_index=True)
+        us = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        tok = pdf[token_col].to_numpy(dtype="float64", na_value=0.0)
+
+        if state.exists:
+            idx0, start0, last0, n0, tok0 = state.get
+        else:
+            idx0, start0, last0, n0, tok0 = -1, None, None, 0, 0
+
+        prev = np.concatenate([[last0 if last0 is not None else -(1 << 62)], us[:-1]])
+        new_start = (us - prev) > gap_us
+        bounds = np.flatnonzero(new_start)  # indices where a NEW session begins
+        # segment [seg_start[i], seg_end[i]) belongs to session idx0 + i(+1)
+        seg_starts = np.concatenate([[0], bounds]) if (bounds.size == 0 or bounds[0] != 0) else bounds
+        seg_starts = np.unique(seg_starts)
+        seg_ends = np.concatenate([seg_starts[1:], [len(us)]])
+        n_per = seg_ends - seg_starts
+        tok_per = np.add.reduceat(tok, seg_starts).astype("int64")
+        first_us = us[seg_starts]
+        last_us = us[seg_ends - 1]
+
+        # does the first segment continue the open state session?
+        continues = state.exists and not new_start[0]
+        seg_idx = idx0 + np.arange(len(seg_starts)) + (0 if continues else 1)
+        seg_start_us = first_us.copy()
+        seg_n = n_per.copy()
+        seg_tok = tok_per.copy()
+        if continues:
+            seg_start_us[0] = start0
+            seg_n[0] += n0
+            seg_tok[0] += tok0
+
+        # all but the last segment are closed by a later turn -> emit
+        closed = slice(0, len(seg_starts) - 1)
+        out = pd.DataFrame(
+            {
+                "conv_id": key[0],
+                "session_idx": seg_idx[closed],
+                "n_turns": seg_n[closed],
+                "session_start": pd.to_datetime(seg_start_us[closed], unit="us"),
+                "session_end": pd.to_datetime(last_us[closed], unit="us"),
+                "token_len_sum": seg_tok[closed],
+            }
+        )
+        state.update((
+            int(seg_idx[-1]), int(seg_start_us[-1]), int(last_us[-1]),
+            int(seg_n[-1]), int(seg_tok[-1]),
+        ))
+        if len(out):
+            yield out
+
+    return stream_df.groupBy(conv_col).applyInPandasWithState(
+        fn, _SESS_OUT, _SESS_STATE, "append", GroupStateTimeout.NoTimeout
+    )
