@@ -20,4 +20,5 @@ from .handlers import (  # noqa: F401
     sort_by_coordinate,
 )
 from .spline import cubic_spline_fill  # noqa: F401
+from .despike import check_goring_nikora, goring_nikora_mask  # noqa: F401
 from .manager import QCBit, QualityManager, apply_qc  # noqa: F401
