@@ -161,3 +161,80 @@ def test_stateful_sessionize_stream(spark, turns, tmp_path):
         g = got[k]
         assert (g["n_turns"], g["token_len_sum"]) == (e["n_turns"], e["token_len_sum"])
         assert g["session_start"] == e["session_start"] and g["session_end"] == e["session_end"]
+
+
+def test_sessionize_stream_gap_on_batch_boundary(spark, tmp_path):
+    """When a micro-batch boundary coincides with a session gap (the new
+    batch's first turn is > gap after the state session's last turn), the
+    session held in state must still be emitted — this path previously
+    dropped it silently."""
+    import datetime as dt
+
+    from tsdat_spark.streaming import sessionize_stream
+
+    base = dt.datetime(2024, 3, 1)
+    mk = lambda mins, i: ("g0", i, base + dt.timedelta(minutes=mins), 5)
+    # session 0: t=0..7min; session 1: t=60..67min; session 2 (open): t=120min
+    drop1 = [mk(m, i) for i, m in enumerate(range(0, 8))]
+    drop2 = [mk(60 + m, 8 + i) for i, m in enumerate(range(0, 8))] + [mk(120, 16)]
+    ddl = "conv_id string, turn_idx int, ts timestamp, token_len int"
+
+    src = str(tmp_path / "gap_src")
+    spark.createDataFrame(drop1, ddl).write.mode("overwrite").parquet(src)
+    q = (
+        sessionize_stream(spark.readStream.schema(ddl).parquet(src), gap_s=1800)
+        .writeStream.format("memory").queryName("gap_sessions")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "gap_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("select count(*) from gap_sessions").first()[0] == 0
+    spark.createDataFrame(drop2, ddl).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["session_idx"]: r
+        for r in spark.sql("select * from gap_sessions").collect()
+    }
+    assert set(got) == {0, 1}
+    s0 = got[0]
+    assert s0["n_turns"] == 8 and s0["token_len_sum"] == 40
+    assert s0["session_start"] == base
+    assert s0["session_end"] == base + dt.timedelta(minutes=7)
+    s1 = got[1]
+    assert s1["n_turns"] == 8
+    assert s1["session_start"] == base + dt.timedelta(minutes=60)
+    assert s1["session_end"] == base + dt.timedelta(minutes=67)
+
+
+def test_sessionize_stream_rejects_cross_batch_disorder(spark, tmp_path):
+    """A micro-batch whose earliest turn for a key precedes the state's last
+    seen turn violates the arrival contract and must fail the query loudly,
+    not silently mis-sessionize."""
+    import datetime as dt
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from tsdat_spark.streaming import sessionize_stream
+
+    base = dt.datetime(2024, 3, 2)
+    ddl = "conv_id string, turn_idx int, ts timestamp, token_len int"
+    drop1 = [("d0", i, base + dt.timedelta(minutes=10 + i), 3) for i in range(4)]
+    # disordered: earlier than everything in drop1
+    drop2 = [("d0", 9, base, 3)]
+
+    src = str(tmp_path / "dis_src")
+    spark.createDataFrame(drop1, ddl).write.mode("overwrite").parquet(src)
+    q = (
+        sessionize_stream(spark.readStream.schema(ddl).parquet(src), gap_s=1800)
+        .writeStream.format("memory").queryName("dis_sessions")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "dis_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(drop2, ddl).write.mode("append").parquet(src)
+    with pytest.raises(StreamingQueryException, match="cross-batch disorder"):
+        q.processAllAvailable()
+        q.awaitTermination(30)
+    q.stop()

@@ -142,7 +142,10 @@ def sessionize_stream(
     streaming assumes. Disorder WITHIN a batch is fine (rows are sorted
     per batch); disorder ACROSS batches would need fragment-merge state +
     event-time-timeout emission, which this operator intentionally trades
-    away for exactly-one-emission-per-closed-session simplicity.
+    away for exactly-one-emission-per-closed-session simplicity. The
+    contract is self-enforcing: a batch whose earliest turn for a key
+    precedes that key's state timestamp raises (failing the streaming
+    query) instead of silently mis-sessionizing.
     """
     import numpy as np
     import pandas as pd
@@ -160,6 +163,16 @@ def sessionize_stream(
 
         if state.exists:
             idx0, start0, last0, n0, tok0 = state.get
+            if us[0] < last0:
+                # Arrival-contract self-enforcement (see docstring): a batch
+                # whose earliest turn predates the state's last seen turn is
+                # cross-batch disorder; fail loudly instead of silently
+                # mis-sessionizing.
+                raise ValueError(
+                    f"sessionize_stream: cross-batch disorder for conv {key[0]!r}: "
+                    f"batch min ts ({us[0]} us) precedes state last ts ({last0} us); "
+                    "micro-batches must be per-key time-ordered"
+                )
         else:
             idx0, start0, last0, n0, tok0 = -1, None, None, 0, 0
 
@@ -198,6 +211,22 @@ def sessionize_stream(
                 "token_len_sum": seg_tok[closed],
             }
         )
+        if state.exists and not continues:
+            # The micro-batch boundary landed exactly on a session gap: the
+            # open session held in state is closed by this batch's first turn
+            # but belongs to no segment above — emit it explicitly (it was
+            # silently dropped before this guard).
+            head = pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "session_idx": np.array([idx0], dtype="int64"),
+                    "n_turns": np.array([n0], dtype="int64"),
+                    "session_start": pd.to_datetime([start0], unit="us"),
+                    "session_end": pd.to_datetime([last0], unit="us"),
+                    "token_len_sum": np.array([tok0], dtype="int64"),
+                }
+            )
+            out = pd.concat([head, out], ignore_index=True) if len(out) else head
         state.update((
             int(seg_idx[-1]), int(seg_start_us[-1]), int(last_us[-1]),
             int(seg_n[-1]), int(seg_tok[-1]),
