@@ -49,30 +49,50 @@ def _tier_1m_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is provably inside this bracket. The oracle emits literal TRUE,
     so any digest regression flips the value hash red.
     """
+    from pyspark.sql import Window as W
+
+    from tsdat_spark.queries import rank_value_at
+
     t = Q.transcripts(spark, sf_dir)
     tier = rollup_tier(t, "1m", series_keys=["conv_id", "role"], salt=4)
-    exact = (
-        t.groupBy("conv_id", "role", F.date_trunc("minute", "ts").alias("bin_start"))
-        .agg(F.sort_array(F.collect_list("latency_us")).alias("lat"))
+
+    # Exact bracket bounds via the rank-window formulation (no per-group
+    # sort_array(collect_list) array — same one-shuffle shape as _rollup):
+    # flag the rows at the clamped 0-based ranks r−1 and r+2 around
+    # r = ⌊(n−1)·q⌋ and extract them with max(when(...)).
+    keys = ["conv_id", "role", "bin_start"]
+    tb = t.withColumn("bin_start", F.date_trunc("minute", "ts"))
+    wk = W.partitionBy(*keys)
+    rk = F.row_number().over(wk.orderBy(F.col("latency_us").asc_nulls_last()))
+    n = F.count("latency_us").over(wk)
+
+    def tgt(q: float, off: int):
+        # 1-based rank of the 0-based index clamp(⌊(n−1)·q⌋ + off, 0, n−1)
+        r = F.floor((n - 1) * F.lit(q)) + F.lit(off)
+        return F.greatest(F.least(r, n - 1), F.lit(0)) + 1
+
+    flagged = tb.select(
+        *keys, "latency_us",
+        rank_value_at(rk, tgt(0.5, -1)).alias("lo50_v"),
+        rank_value_at(rk, tgt(0.5, 2)).alias("hi50_v"),
+        rank_value_at(rk, tgt(0.95, -1)).alias("lo95_v"),
+        rank_value_at(rk, tgt(0.95, 2)).alias("hi95_v"),
+    )
+    exact = flagged.groupBy(*keys).agg(
+        F.max("lo50_v").alias("lo50"), F.max("hi50_v").alias("hi50"),
+        F.max("lo95_v").alias("lo95"), F.max("hi95_v").alias("hi95"),
     )
 
-    def bracket_ok(p_col: str, q: float):
-        # try_element_at + index clamps: ANSI mode (Spark 4 default) makes
-        # element_at throw on 0/out-of-range, and when n==0 both branch
-        # expressions are still evaluated.
-        n = F.size("lat")
-        r = F.floor((n - 1) * F.lit(q)).cast("int")
-        lo = F.try_element_at("lat", F.greatest(r - 1, F.lit(0)) + 1)
-        hi = F.try_element_at("lat", F.greatest(F.least(r + 2, n - 1) + 1, F.lit(1)))
-        return F.when(n == 0, F.lit(True)).otherwise(
-            (F.col(p_col) >= lo) & (F.col(p_col) <= hi)
+    def bracket_ok(p_col: str, lo: str, hi: str):
+        return F.when(F.col("n_latency") == 0, F.lit(True)).otherwise(
+            (F.col(p_col) >= F.col(lo)) & (F.col(p_col) <= F.col(hi))
         )
 
-    joined = tier.join(exact, ["conv_id", "role", "bin_start"])
+    joined = tier.join(exact, keys)
     return joined.select(
         "conv_id", "role", "bin_start", "n_turns", "token_len_sum", "n_latency",
-        bracket_ok("latency_p50", 0.5).alias("p50_in_bracket"),
-        bracket_ok("latency_p95", 0.95).alias("p95_in_bracket"),
+        bracket_ok("latency_p50", "lo50", "hi50").alias("p50_in_bracket"),
+        bracket_ok("latency_p95", "lo95", "hi95").alias("p95_in_bracket"),
     )
 
 

@@ -10,7 +10,8 @@ Determinism discipline:
 - float aggregate outputs are ``round(x, 6)`` on BOTH sides so FP sum-order
   ulp noise cannot flip the hash;
 - percentiles in oracle-checked rollups use the *lower discrete* quantile
-  (sorted-list indexing) which is integer-exact and scale-independent; the
+  (rank-window formulation, see ``_rollup``) which is integer-exact and
+  scale-independent; the
   engine's scalable t-digest path is exercised by ``tier_1m_tdigest`` (a
   rows-only check) and by the pytest suite.
 
@@ -129,25 +130,44 @@ def q_standardize_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _discrete_quantile(col: str, q: float):
-    """Lower discrete quantile: element at ⌊(n−1)·q⌋ of the sorted non-null
-    values. Integer-exact, order-insensitive — the oracle-safe percentile."""
-    arr = F.sort_array(F.collect_list(F.col(col)))
-    idx = F.floor((F.size(arr) - 1) * F.lit(q)).cast("int") + 1
-    return F.when(F.size(arr) > 0, F.element_at(arr, idx))
+def rank_value_at(rk, target_rank, col: str = "latency_us"):
+    """Row-level flag for the rank-window discrete quantile: carries ``col``
+    on exactly the row whose 1-based non-null rank equals ``target_rank``
+    (row_number is unique, so at most one row per group carries it); a
+    same-keyed ``max()`` aggregate then extracts it. The VALUE at a sorted
+    rank is deterministic even under ties, so no tie-break order is needed."""
+    return F.when((rk == target_rank) & F.col(col).isNotNull(), F.col(col))
 
 
 def _rollup(spark, sf_dir, trunc: str) -> DataFrame:
-    t = transcripts(spark, sf_dir)
-    return (
-        t.groupBy("conv_id", "role", F.date_trunc(trunc, "ts").alias("bin_start"))
-        .agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.sum("token_len").alias("token_len_sum"),
-            F.count("latency_us").alias("n_latency"),
-            _discrete_quantile("latency_us", 0.5).alias("latency_p50"),
-            _discrete_quantile("latency_us", 0.95).alias("latency_p95"),
-        )
+    """Per-(conv, role, bin) rollup with *lower discrete* quantiles — the
+    element at ⌊(n−1)·q⌋ of the sorted non-null latencies (integer-exact,
+    order-insensitive, oracle-safe).
+
+    Rank-window formulation: rank latencies within each group (nulls last),
+    flag the row whose rank hits ⌊(n−1)·q⌋+1, and extract it with
+    ``max(when(...))`` in a groupBy on the SAME keys — Catalyst reuses the
+    window's hash partitioning so the whole rollup is ONE shuffle, and no
+    per-group array is ever materialized (the previous
+    ``sort_array(collect_list)`` shape put a mega-conversation's entire day
+    of latencies into a single array at 1d grain — the scale-killer this
+    replaces)."""
+    t = transcripts(spark, sf_dir).withColumn("bin_start", F.date_trunc(trunc, "ts"))
+    keys = ["conv_id", "role", "bin_start"]
+    wk = W.partitionBy(*keys)
+    rk = F.row_number().over(wk.orderBy(F.col("latency_us").asc_nulls_last()))
+    n = F.count("latency_us").over(wk)
+    flagged = t.select(
+        *keys, "token_len", "latency_us",
+        rank_value_at(rk, F.floor((n - 1) * F.lit(0.5)) + 1).alias("p50_val"),
+        rank_value_at(rk, F.floor((n - 1) * F.lit(0.95)) + 1).alias("p95_val"),
+    )
+    return flagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("token_len").alias("token_len_sum"),
+        F.count("latency_us").alias("n_latency"),
+        F.max("p50_val").alias("latency_p50"),
+        F.max("p95_val").alias("latency_p95"),
     )
 
 
