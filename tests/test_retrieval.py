@@ -185,3 +185,41 @@ def test_a2e_csv_reader(spark, tmp_path):
     assert [r["temp"] for r in out] == [1.5, 2.5]
     assert str(out[0]["time"]) == "2022-11-17 00:10:00"
     assert dict(A2eCSVReader().read(spark, path).dtypes)["time"] == "timestamp"
+
+
+def test_archive_mixed_members_and_prefilter(spark, tmp_path):
+    """Inner-member dispatch (csv + json + jsonl members in one tar,
+    tar_reader.py:12-108 inner-reader semantics) plus name-based
+    pre-extraction filtering: an excluded member holds garbage bytes that
+    would crash any parser — the scan succeeding proves it was filtered
+    before extraction. A member missing a declared int column null-fills
+    (nullable Int dtypes), and a parameterized decimal(10,2) DDL type
+    parses via Catalyst fromDDL."""
+    import io
+    import tarfile
+
+    members = {
+        "a.csv": b"time,a,price\n1,10,1.25\n",
+        "b.jsonl": b'{"time": 2, "a": 20, "price": 2.5}\n{"time": 3, "a": 30, "price": 3.75}\n',
+        "c.json": b'[{"time": 4, "price": 4.5}]',  # missing int col a -> null
+        "skip/huge.bin.csv": b"\x00\xff garbage not parseable as anything",
+    }
+    tar_path = str(tmp_path / "mixed.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+    from tsdat_spark.io.readers import TarReader
+
+    reader = TarReader(
+        "time bigint, a int, price decimal(10,2)",
+        exclude=(r"skip/.*",),
+        add_member_col=True,
+    )
+    rows = reader.read(spark, tar_path).orderBy("time").collect()
+    assert [(r["time"], r["a"], float(r["price"])) for r in rows] == [
+        (1, 10, 1.25), (2, 20, 2.50), (3, 30, 3.75), (4, None, 4.50),
+    ]
+    assert {r["__member"] for r in rows} == {"a.csv", "b.jsonl", "c.json"}

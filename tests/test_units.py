@@ -55,3 +55,33 @@ def test_errors():
         conversion("degC", "m")  # affine/linear mix
     with pytest.raises(UnitsError):
         conversion("florps", "m")
+
+
+def test_strftime_to_java_literals_and_escaped_percent(spark):
+    """ISO 'T' separators quote as literals; %% is a literal percent; an
+    unknown directive and a dangling % still raise (string_to_datetime.py
+    format contract, translated for java.time)."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tsdat_spark.io.converters import StringToDatetime, strftime_to_java
+
+    assert strftime_to_java("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+    assert strftime_to_java("%d%%%m") == "dd%MM"
+    with pytest.raises(ValueError, match="unsupported strftime directive"):
+        strftime_to_java("%Q")
+    with pytest.raises(ValueError, match="dangling"):
+        strftime_to_java("%Y-%")
+
+    # end-to-end through Spark's parser: ISO-T and embedded-percent inputs
+    df = spark.createDataFrame(
+        [("2024-02-03T04:05:06", "03%02 2024")], "iso string, pct string"
+    )
+    out = df.select(
+        StringToDatetime(format="%Y-%m-%dT%H:%M:%S")(F.col("iso")).alias("a"),
+        StringToDatetime(format="%d%%%m %Y")(F.col("pct")).alias("b"),
+    ).first()
+    assert out["a"] == dt.datetime(2024, 2, 3, 4, 5, 6)
+    assert out["b"] == dt.datetime(2024, 2, 3)

@@ -23,36 +23,46 @@ from pyspark.sql import functions as F
 
 from ..units import UnitsError, conversion
 
-# strftime -> java.time format tokens (the subset tsdat configs use).
-# Ordered: longer/stricter tokens first so replacement is unambiguous.
-_STRFTIME_TO_JAVA = [
-    ("%Y", "yyyy"),
-    ("%y", "yy"),
-    ("%m", "MM"),
-    ("%d", "dd"),
-    ("%H", "HH"),
-    ("%I", "hh"),
-    ("%M", "mm"),
-    ("%S", "ss"),
-    ("%f", "SSSSSS"),
-    ("%p", "a"),
-    ("%b", "MMM"),
-    ("%B", "MMMM"),
-    ("%j", "DDD"),
-    ("%z", "XX"),
-    ("%%", "%"),
-]
+# strftime directive -> java.time token (the subset tsdat configs use).
+# '%%' maps to a literal '%' (valid unquoted in java.time — pattern letters
+# are [a-zA-Z] only).
+_STRFTIME_TO_JAVA = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "I": "hh",
+    "M": "mm", "S": "ss", "f": "SSSSSS", "p": "a", "b": "MMM", "B": "MMMM",
+    "j": "DDD", "z": "XX", "%": "%",
+}
 
 
 def strftime_to_java(fmt: str) -> str:
     """Translate a Python strptime format (what tsdat configs declare) to
-    the java.time pattern Spark's ``to_timestamp`` expects."""
-    out = fmt
-    for py, java in _STRFTIME_TO_JAVA:
-        out = out.replace(py, java)
-    if "%" in out:
-        raise ValueError(f"unsupported strftime directive in {fmt!r} -> {out!r}")
-    return out
+    the java.time pattern Spark's ``to_timestamp`` expects.
+
+    Proper tokenizer (not naive replace): ``%%`` becomes a literal percent
+    instead of tripping the unsupported-directive error, and literal runs
+    containing letters (e.g. the ``T`` in ``%Y-%m-%dT%H:%M:%S``) are
+    single-quoted so java.time reads them as text, not pattern letters."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError(f"dangling '%' at end of strftime format {fmt!r}")
+            d = fmt[i + 1]
+            if d not in _STRFTIME_TO_JAVA:
+                raise ValueError(f"unsupported strftime directive %{d} in {fmt!r}")
+            out.append(_STRFTIME_TO_JAVA[d])
+            i += 2
+        else:
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            lit = fmt[i:j]
+            if any(c.isalpha() for c in lit) or "'" in lit:
+                out.append("'" + lit.replace("'", "''") + "'")
+            else:
+                out.append(lit)
+            i = j
+    return "".join(out)
 
 
 @dataclass(frozen=True)

@@ -104,51 +104,81 @@ def read_input(
 # (schema inference over opaque blobs would mean a second distributed pass).
 # ---------------------------------------------------------------------------
 
+# Spark simpleString -> pandas dtype. Integers and booleans use pandas
+# NULLABLE extension dtypes ('Int64' etc.) so a member file with a missing
+# declared column (all-None series) or NaN holes null-fills instead of
+# raising TypeError/IntCastingNaNError and crashing the whole archive scan;
+# Arrow transfers nullable ints losslessly to Spark's int types.
 _SPARK_TO_PANDAS = {
-    "bigint": "int64", "int": "int32", "smallint": "int16", "tinyint": "int8",
+    "bigint": "Int64", "int": "Int32", "smallint": "Int16", "tinyint": "Int8",
     "double": "float64", "float": "float32", "string": "object",
-    "boolean": "bool", "timestamp": "datetime64[us]", "date": "datetime64[us]",
+    "boolean": "boolean", "timestamp": "datetime64[us]", "date": "datetime64[us]",
 }
 
 
-def _coerce_to_schema(pdf, schema_ddl: str):
-    """Coerce a pandas frame to a Spark DDL schema (names, order, dtypes)."""
+def parse_ddl_fields(spark: SparkSession, schema_ddl: str) -> list[tuple[str, str]]:
+    """DRIVER-side DDL parse via Catalyst (``StructType.fromDDL`` — handles
+    parameterized types like decimal(10,2) that a naive split(',') breaks
+    on). Returns picklable (name, simpleString) pairs for executor closures,
+    where no JVM parser exists."""
+    from pyspark.sql.types import StructType
+
+    return [(f.name, f.dataType.simpleString()) for f in StructType.fromDDL(schema_ddl).fields]
+
+
+def _coerce_to_schema(pdf, fields: list[tuple[str, str]]):
+    """Coerce a pandas frame to parsed schema fields (names, order, dtypes).
+    Missing columns null-fill; runs on executors (no Spark API calls)."""
+    import decimal
+
     import pandas as pd
 
-    fields = []
-    for part in schema_ddl.split(","):
-        name, _, typ = part.strip().partition(" ")
-        fields.append((name, typ.strip().lower()))
     out = {}
     for name, typ in fields:
         col = pdf[name] if name in pdf.columns else pd.Series([None] * len(pdf))
-        pd_type = _SPARK_TO_PANDAS.get(typ, "object")
         if typ in ("timestamp", "date"):
             col = pd.to_datetime(col)
-        elif pd_type != "object":
-            col = col.astype(pd_type)
+        elif typ.startswith("decimal"):
+            col = col.map(lambda v: None if pd.isna(v) else decimal.Decimal(str(v)))
         else:
-            col = col.astype("object").where(col.notna(), None)
+            pd_type = _SPARK_TO_PANDAS.get(typ, "object")
+            if pd_type != "object":
+                col = col.astype(pd_type)
+            else:
+                col = col.astype("object").where(col.notna(), None)
         out[name] = col
     return pd.DataFrame(out)
+
+
+#: inner-member format dispatch: first regex match wins (tsdat's TarReader
+#: dispatches members to ANY registered reader by regex, tar_reader.py:12-108;
+#: formats are named by string so the closure stays picklable).
+DEFAULT_MEMBER_FORMATS: tuple[tuple[str, str], ...] = (
+    (r".*\.csv$", "csv"),
+    (r".*\.jsonl$", "jsonl"),
+    (r".*\.json$", "json"),
+)
 
 
 @dataclass(frozen=True)
 class ArchiveReader:
     """Shared tar/zip logic; ``kind`` ∈ {"tar", "zip"}.
 
-    ``member_pattern`` selects members (first inner "reader" — only
-    pandas-CSV members are supported in-image, matching tsdat's most common
-    inner reader); ``exclude`` mirrors tsdat's default exclusions
+    ``member_pattern`` selects members; matched members are parsed by the
+    first ``member_formats`` regex that accepts the name (csv / json /
+    jsonl — tsdat's inner-reader dispatch). Filtering happens on member
+    NAMES before any bytes are extracted, so a large excluded member is
+    never read. ``exclude`` mirrors tsdat's default exclusions
     (tar_reader.py:50-52).
     """
 
     kind: str
     schema: str  # required member DDL
-    member_pattern: str = r".*\.csv$"
+    member_pattern: str = r".*\.(csv|jsonl?)$"
     sep: str = ","
     exclude: tuple[str, ...] = (r".*__MACOSX/.*", r".*DS_Store")
     add_member_col: bool = False
+    member_formats: tuple[tuple[str, str], ...] = DEFAULT_MEMBER_FORMATS
 
     def read(self, spark: SparkSession, path: str) -> DataFrame:
         import io as _io
@@ -159,35 +189,53 @@ class ArchiveReader:
         import pandas as pd
 
         kind = self.kind
-        schema_ddl = self.schema
+        fields = parse_ddl_fields(spark, self.schema)
         pattern, sep = self.member_pattern, self.sep
         exclude = self.exclude
+        formats = self.member_formats
         add_member = self.add_member_col
-        out_schema = schema_ddl + (", __member string" if add_member else "")
+        out_schema = self.schema + (", __member string" if add_member else "")
 
         blobs = spark.read.format("binaryFile").load(path).select("path", "content")
+
+        def wanted(name: str) -> bool:
+            return (
+                not any(re.match(e, name) for e in exclude)
+                and re.match(pattern, name) is not None
+                and any(re.match(p, name) for p, _ in formats)
+            )
+
+        def parse_member(name: str, data: bytes) -> pd.DataFrame:
+            fmt = next(f for p, f in formats if re.match(p, name))
+            if fmt == "csv":
+                return pd.read_csv(_io.BytesIO(data), sep=sep)
+            if fmt == "jsonl":
+                return pd.read_json(_io.BytesIO(data), lines=True)
+            if fmt == "json":
+                return pd.read_json(_io.BytesIO(data))
+            raise ValueError(f"unknown member format {fmt!r} for {name!r}")
 
         def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 for blob in pdf["content"]:
                     buf = _io.BytesIO(bytes(blob))
+                    # filter by NAME first; only matching members' bytes are
+                    # ever extracted from the archive stream
                     if kind == "tar":
                         with tarfile.open(fileobj=buf) as tf:
                             members = [
                                 (m.name, tf.extractfile(m).read())
-                                for m in tf.getmembers() if m.isfile()
+                                for m in tf.getmembers()
+                                if m.isfile() and wanted(m.name)
                             ]
                     else:
                         with zipfile.ZipFile(buf) as zf:
-                            members = [(n, zf.read(n)) for n in zf.namelist()
-                                       if not n.endswith("/")]
+                            members = [
+                                (n, zf.read(n)) for n in zf.namelist()
+                                if not n.endswith("/") and wanted(n)
+                            ]
                     for name, data in members:
-                        if any(re.match(e, name) for e in exclude):
-                            continue
-                        if not re.match(pattern, name):
-                            continue
-                        inner = pd.read_csv(_io.BytesIO(data), sep=sep)
-                        out = _coerce_to_schema(inner, schema_ddl)
+                        out = _coerce_to_schema(parse_member(name, data), fields)
                         if add_member:
                             out["__member"] = name
                         yield out

@@ -157,6 +157,17 @@ def run_rollup_job(
             write_manifests(path, per_tier_todo[tier])
         prev_path = path
 
+    # Per-run metrics: count ONLY the partitions rebuilt this run (partition
+    # -pruned scans) — a mostly-skipped resume run must not pay full-table
+    # recounts of every tier, and a tier that had nothing to do may not even
+    # have a directory yet (crash-resume), so it gets no metric.
     for tier in tiers:
-        result.metrics[f"tier_{tier}_rows"] = spark.read.parquet(f"{out_root}/tier_{tier}").count()
+        days = [date.fromisoformat(m.partition) for m in per_tier_todo[tier]]
+        if not days:
+            continue
+        result.metrics[f"tier_{tier}_rows"] = (
+            spark.read.parquet(f"{out_root}/tier_{tier}")
+            .where(F.col(PARTITION_COL).isin(days))
+            .count()
+        )
     return result

@@ -43,7 +43,7 @@ def _robust_sigma(x: np.ndarray) -> float:
     return 1.483 * float(np.nanmedian(np.abs(x - med)))
 
 
-def _gn_block(u: np.ndarray, max_iter: int = 10) -> np.ndarray:
+def _gn_block(u: np.ndarray, max_iter: int = 10, confirm: bool = False) -> np.ndarray:
     finite = np.isfinite(u)
     spike = np.zeros(u.size, dtype=bool)
     if finite.sum() < 4:
@@ -96,12 +96,15 @@ def _gn_block(u: np.ndarray, max_iter: int = 10) -> np.ndarray:
             break
         spike |= new
 
-    # Confirmation pass: the Δu planes flag the NEIGHBORS of a spike too
-    # (their differences are contaminated by the spike value). Re-evaluate
-    # every flagged point against the cleaned series with only ITSELF
-    # restored: a real spike still deviates (large u or curvature); a
-    # contaminated neighbor normalizes and is dropped.
-    if spike.any():
+    # OPT-IN confirmation pass (``confirm=True``) — NOT part of Goring-Nikora
+    # 2002 / Wahl 2003 / mhkit's GN2002: the Δu planes flag the NEIGHBORS of
+    # a spike too (their differences are contaminated by the spike value), so
+    # this extension re-evaluates every flagged point against the cleaned
+    # series with only ITSELF restored: a real spike still deviates (large u
+    # or curvature); a contaminated neighbor normalizes and is dropped. The
+    # default (False) is the raw published behavior, mhkit-comparable the day
+    # an mhkit-equipped environment exists.
+    if confirm and spike.any():
         valid = finite & ~spike
         if valid.sum() >= 4:
             w = u.copy()
@@ -121,13 +124,19 @@ def _gn_block(u: np.ndarray, max_iter: int = 10) -> np.ndarray:
     return spike
 
 
-def goring_nikora_mask(u: np.ndarray, n_points: int = 5000, max_iter: int = 10) -> np.ndarray:
-    """Spike mask for one series (block-wise, like mhkit's ``npt``)."""
+def goring_nikora_mask(
+    u: np.ndarray, n_points: int = 5000, max_iter: int = 10, confirm: bool = False
+) -> np.ndarray:
+    """Spike mask for one series (block-wise, like mhkit's ``npt``).
+
+    ``confirm=False`` (default) is the raw published method; ``confirm=True``
+    adds the neighbor-confirmation extension (see ``_gn_block``) that trades
+    a little recall risk for far fewer contaminated-neighbor false flags."""
     u = np.asarray(u, dtype=np.float64)
     out = np.zeros(u.size, dtype=bool)
     for s in range(0, u.size, n_points):
         e = min(s + n_points, u.size)
-        out[s:e] = _gn_block(u[s:e], max_iter=max_iter)
+        out[s:e] = _gn_block(u[s:e], max_iter=max_iter, confirm=confirm)
     return out
 
 
@@ -138,9 +147,11 @@ def check_goring_nikora(
     order_col: str = "ts",
     n_points: int = 5000,
     out_col: str | None = None,
+    confirm: bool = False,
 ):
     """Spark wrapper: per-series GN2002 spike mask as a boolean column
-    ``out_col`` (default ``qc_gn_<var>``), one mapInPandas pass."""
+    ``out_col`` (default ``qc_gn_<var>``), one mapInPandas pass.
+    ``confirm`` as in :func:`goring_nikora_mask`."""
     from typing import Iterator
 
     import pandas as pd
@@ -167,7 +178,7 @@ def check_goring_nikora(
         vals = pdf[var].to_numpy(np.float64, na_value=np.nan)
         mask = np.zeros(len(pdf), dtype=bool)
         for s, e in zip(gstarts, gends):
-            mask[s:e] = goring_nikora_mask(vals[s:e], n_points=n_points)
+            mask[s:e] = goring_nikora_mask(vals[s:e], n_points=n_points, confirm=confirm)
         pdf[out_col] = mask
         yield pdf[out_cols]
 
