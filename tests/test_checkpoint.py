@@ -80,3 +80,45 @@ def test_write_read_tier_roundtrip(days_df, tmp_path):
     days = sorted(r[0] for r in back.select("p_date").distinct().collect())
     some = read_tier(days_df.sparkSession, path, start=str(days[-1]))
     assert 0 < some.count() < back.count()
+
+
+def test_write_tier_injectable_table_writer(spark, tmp_path):
+    """The catalog-table branch of write_tier is injectable (file_system_s3
+    analog, untestable with real jars in-image): the stub receives the frame
+    WITH the partition column, and the default parquet path is unaffected."""
+    import datetime as dt
+
+    from tsdat_spark.io.writers import (
+        PARTITION_COL, iceberg_table_writer, read_tier, write_tier,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", dt.datetime(2024, 1, 2, 3), 5)],
+        "conv_id string, bin_start timestamp, n_turns int",
+    )
+
+    calls = []
+    write_tier(df, "cat.db.tier_1m", table_writer=lambda out, p: calls.append((out, p)))
+    assert len(calls) == 1
+    out, path = calls[0]
+    assert path == "cat.db.tier_1m"
+    assert PARTITION_COL in out.columns
+    assert out.first()[PARTITION_COL] == dt.date(2024, 1, 2)
+
+    # iceberg_table_writer itself: duck-typed writeTo chain, no jars needed
+    chain = []
+    class FakeWriter:
+        def partitionedBy(self, col):
+            chain.append("partitionedBy"); return self
+        def createOrReplace(self):
+            chain.append("createOrReplace")
+    class FakeDF:
+        def writeTo(self, table):
+            chain.append(("writeTo", table)); return FakeWriter()
+    iceberg_table_writer(FakeDF(), "cat.db.t")
+    assert chain == [("writeTo", "cat.db.t"), "partitionedBy", "createOrReplace"]
+
+    # parquet fallback still round-trips
+    p = str(tmp_path / "tier")
+    write_tier(df, p)
+    assert read_tier(spark, p).count() == 1

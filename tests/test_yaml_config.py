@@ -128,3 +128,45 @@ def test_yaml_pipeline_timezone_conversion(spark, tmp_path):
     first = res.df.where((F.col("conv_id") == "c1") & (F.col("turn_idx") == 0)).first()
     # 2024-01-01 00:00 EST == 2024-01-01 05:00 UTC
     assert str(first["time"]) == "2024-01-01 05:00:00"
+
+
+def test_yaml_pipeline_csv_storage_roundtrip(spark, tmp_path):
+    """CSVWriter as an engine sink (csv_writer.py:14-91 analog) registered
+    via the yaml storage handler: PipelineSpec.run writes header CSV plus
+    the global-attrs and per-variable-attrs sidecars (hidden '_' files), and
+    the table round-trips through the engine's own CSVReader."""
+    import csv as _csv
+    import os
+
+    csv_path = str(tmp_path / "transcripts_day2.csv")
+    _write_csv(csv_path)
+    spec = load_pipeline_yaml(
+        PIPELINE_YAML,
+        overrides={
+            "/storage/handler": {"writer": {"classname": "tsdat.io.writers.CSVWriter"}}
+        },
+    )
+    assert spec.storage.format == "csv"
+    table = str(tmp_path / "out_csv")
+    res = spec.run(spark, [csv_path], table_path=table)
+    assert res.manifests and res.manifests[0].n_rows == 5
+
+    # sidecars exist and carry the dataset attrs
+    attrs = dict(r for r in _csv.reader(open(os.path.join(table, "_attrs.csv"))))
+    assert attrs.get("location_id") == "sgp"
+    var_rows = list(_csv.reader(open(os.path.join(table, "_var_attrs.csv"))))
+    assert var_rows[0][0] == "name" and len(var_rows) > 1
+
+    # round-trip through the engine CSV reader; '_' sidecars are invisible
+    from tsdat_spark.io.readers import CSVReader
+
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in res.df.schema.fields)
+    back = CSVReader(schema=ddl, options={"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}).read(spark, table)
+    assert back.count() == 5
+    got = {(r["conv_id"], r["turn_idx"]): r for r in back.collect()}
+    exp = {(r["conv_id"], r["turn_idx"]): r for r in res.df.collect()}
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert abs(got[k]["temp"] - exp[k]["temp"]) < 1e-9
+        assert got[k]["qc_temp"] == exp[k]["qc_temp"]
+        assert got[k]["time"] == exp[k]["time"]

@@ -67,8 +67,13 @@ def run_ingest(
     table_path: str | None = None,
     hook_customize: Callable[[DataFrame], DataFrame] | None = None,
     hook_finalize: Callable[[DataFrame], DataFrame] | None = None,
+    writer: Callable[[DataFrame, str], None] | None = None,
 ) -> IngestResult:
-    """standardize → customize hook → QC → finalize hook → (store)."""
+    """standardize → customize hook → QC → finalize hook → (store).
+
+    ``writer``: optional storage sink ``(df, table_path) -> None`` (e.g.
+    :class:`tsdat_spark.io.writers.CSVDatasetWriter`); default is the
+    date-partitioned tier write. Lineage manifests are emitted either way."""
     df = standardize(raw, spec, dedup_keys=dedup_keys)
     # transcript enrichments only apply when the declared schema has the
     # transcript columns (yaml-configured datasets may not)
@@ -83,7 +88,10 @@ def run_ingest(
         df = hook_finalize(df)
     manifests = []
     if table_path:
-        write_tier(df, table_path, ts_col=spec.ts_col)
+        if writer is not None:
+            writer(df, table_path)
+        else:
+            write_tier(df, table_path, ts_col=spec.ts_col)
         manifests = partition_manifests(df, ts_col=spec.ts_col)
         write_manifests(table_path, manifests)
     return IngestResult(df, bits, manifests)

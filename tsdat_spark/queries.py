@@ -96,24 +96,16 @@ def q_standardize_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     back through the engine's regex reader dispatch with a declared schema
     (no inference pass) and an explicit-format datetime parse. The oracle is
     the original parquet — so the round trip (quote/escape, microsecond
-    parse, double repr) must be exact."""
-    import hashlib
-    import os
+    parse, double repr) must be exact.
 
+    Fixture generation lives in :mod:`tsdat_spark.fixtures` (a setup step,
+    see scripts/setup_fixtures.py); ensure_events_csv here is an idempotent
+    existence check only — the returned program is a pure read."""
+    from .fixtures import ensure_events_csv
     from .io.converters import StringToDatetime
     from .io.readers import CSVReader, read_input
 
-    cache = f"/tmp/tsdat_spark_events_csv_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.csv"
-    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-        ev = _events(spark, sf_dir)
-        (
-            ev.select("event_id", "user_id", "event_type", "ts", "value", "props")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .option("header", "true")
-            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-            .csv(cache)
-        )
+    cache = ensure_events_csv(spark, sf_dir)
     readers = [
         (
             r".*\.csv$",

@@ -232,6 +232,10 @@ class RetrieverSpec:
 class StorageSpec:
     kind: str = "filesystem"
     parameters: dict = field(default_factory=dict)
+    #: storage file format, chosen by the yaml handler's writer classname
+    #: (tsdat FileHandler reader+writer pairs, csv_handler.py:9-12)
+    format: str = "parquet"
+    writer_parameters: dict = field(default_factory=dict)
 
     @property
     def data_storage_path(self) -> str | None:
@@ -252,14 +256,26 @@ class PipelineSpec:
         return any(re.match(t, input_key) for t in self.triggers)
 
     def run(self, spark, input_keys: list[str], table_path: str | None = None):
-        """retrieve → standardize → QC → store (tsdat IngestPipeline.run)."""
+        """retrieve → standardize → QC → store (tsdat IngestPipeline.run).
+        The storage handler's writer classname picks the sink: CSVWriter →
+        :class:`~tsdat_spark.io.writers.CSVDatasetWriter` with attrs
+        sidecars; default → date-partitioned tier write."""
         from .pipeline import run_ingest
         from .qc.checkers import QCContext
         from .retrieval import perform_data_retrieval
 
         raw = perform_data_retrieval(spark, input_keys, self.retriever, self.dataset)
         ctx = QCContext(series_keys=tuple(self.dataset.series_keys), order_cols=(self.dataset.ts_col,))
-        return run_ingest(raw, self.dataset, ctx, self.quality, table_path=table_path)
+        writer = None
+        if self.storage.format == "csv":
+            from .io.writers import CSVDatasetWriter
+
+            writer = CSVDatasetWriter(
+                attrs=self.attrs,
+                var_attrs={n: v.attrs for n, v in self.dataset.variables.items() if v.attrs},
+                **self.storage.writer_parameters,
+            )
+        return run_ingest(raw, self.dataset, ctx, self.quality, table_path=table_path, writer=writer)
 
 
 def _parse_rules(section: dict, ts_col_hint: str | None = None) -> dict[str, list[VarRule]]:
@@ -356,11 +372,27 @@ def _parse_quality(doc: dict, dataset: DatasetSpec) -> list[QualityManager]:
     return managers
 
 
+_WRITER_FORMATS = {
+    # handler/writer classname leaf -> engine storage format
+    "CSVHandler": "csv", "CSVWriter": "csv", "A2eCSVWriter": "csv",
+    "ParquetHandler": "parquet", "ParquetWriter": "parquet",
+    "NetCDFHandler": "parquet", "NetCDFWriter": "parquet",  # nc → columnar analog
+}
+
+
 def _parse_storage(doc: dict) -> StorageSpec:
     leaf = _leaf(doc.get("classname", "FileSystem"))
     kind = {"FileSystem": "filesystem", "FileSystemS3": "filesystem",
             "IcebergStorage": "iceberg"}.get(leaf, "filesystem")
-    return StorageSpec(kind=kind, parameters=doc.get("parameters", {}))
+    handler = doc.get("handler") or {}
+    writer = handler.get("writer") or {}
+    fmt_leaf = _leaf(writer.get("classname") or handler.get("classname") or "ParquetHandler")
+    return StorageSpec(
+        kind=kind,
+        parameters=doc.get("parameters", {}),
+        format=_WRITER_FORMATS.get(fmt_leaf, "parquet"),
+        writer_parameters=writer.get("parameters", {}),
+    )
 
 
 def load_pipeline_yaml(path: str | Path, overrides: dict[str, Any] | None = None) -> PipelineSpec:
