@@ -62,3 +62,33 @@ def test_spark_wrapper_matches_kernel(spark):
             exp = expected[(conv, "confirm")] if confirm else expected[conv]
             for i in range(len(exp)):
                 assert got[(conv, i)] == bool(exp[i])
+
+
+def test_block_parallel_matches_sequential(spark):
+    """block_parallel=True spreads a mega-series across (series, block)
+    tasks; the published method is block-independent, so the mask must be
+    bit-identical to the sequential path (incl. across the block seam)."""
+    rng = np.random.default_rng(21)
+    n = 2600  # > 2 blocks at n_points=1000, with a partial tail block
+    u = np.sin(np.arange(n) / 40.0) + rng.normal(0, 0.06, n)
+    hit = rng.choice(n, 12, replace=False)
+    u[hit] += 2.8
+    u[999] += 2.8   # spike exactly AT a block boundary
+    u[1000] += 2.8  # and just after it
+    df = spark.createDataFrame(
+        [("m", i, float(i), float(u[i])) for i in range(n)],
+        "conv_id string, turn_idx int, x double, value double",
+    ).repartition(8)
+
+    seq = check_goring_nikora(df, "value", ["conv_id"], order_col="x", n_points=1000)
+    par = check_goring_nikora(df, "value", ["conv_id"], order_col="x", n_points=1000,
+                              block_parallel=True)
+    got_seq = {r["turn_idx"]: r["qc_gn_value"] for r in seq.collect()}
+    got_par = {r["turn_idx"]: r["qc_gn_value"] for r in par.collect()}
+    assert got_seq == got_par
+    # kernel truth
+    exp = goring_nikora_mask(u, n_points=1000)
+    assert all(got_par[i] == bool(exp[i]) for i in range(n))
+    assert got_par[999] and got_par[1000]
+    # the parallel plan really has more than one group key
+    assert par.count() == n

@@ -1,7 +1,13 @@
 """Storage: partitioned tier tables, lineage manifests, checkpoint/resume,
 gorilla cold store."""
 
-from .writers import read_tier, write_tier  # noqa: F401
+from .writers import (  # noqa: F401
+    A2eCSVDatasetWriter,
+    CSVDatasetWriter,
+    iceberg_table_writer,
+    read_tier,
+    write_tier,
+)
 from .checkpoint import (  # noqa: F401
     completed_partitions,
     partition_manifests,

@@ -335,7 +335,13 @@ class A2eCSVReader:
 
         schema = ", ".join(f"{c} {ddl_type(c)}" for c in columns)
         time_col, time_format = self.time_col, self.time_format
-        pd_dtypes = {c: dtypes[c] for c in columns if c in dtypes and c != time_col}
+        # nullable pandas dtypes for integral columns: a declared int column
+        # with missing values ("" cells) must null-fill, not crash the parse
+        nullable = {"int64": "Int64", "int32": "Int32", "int16": "Int16",
+                    "int8": "Int8", "uint8": "UInt8", "uint16": "UInt16",
+                    "uint32": "UInt32", "bool": "boolean"}
+        pd_dtypes = {c: nullable.get(dtypes[c], dtypes[c])
+                     for c in columns if c in dtypes and c != time_col}
 
         blobs = spark.read.format("binaryFile").load(
             path if not os.path.isdir(path) else os.path.join(path, "*.csv")

@@ -126,6 +126,98 @@ class CSVDatasetWriter:
     __call__ = write
 
 
+#: spark sql type -> numpy dtype name for A2e `var:dtype=` metadata lines
+#: (inverse of config._DTYPE_MAP; strings get no dtype line, like the
+#: reference: a2e_csv_writer.py:58-67)
+_SPARK_TO_NUMPY = {
+    "double": "float64", "float": "float32", "bigint": "int64", "long": "int64",
+    "int": "int32", "smallint": "int16", "tinyint": "int8",
+    "timestamp": "datetime64[ns]", "boolean": "bool",
+}
+
+
+class A2eCSVDatasetWriter:
+    """Engine analog of tsdat's ``A2eCSVWriter`` (``a2e_csv_writer.py:14-110``):
+    every output part file is a self-describing A2e metadata-header CSV —
+    ``header=N`` on line 0, ``key="value"`` global attributes and
+    ``var:attr=value`` / ``var:dtype=...`` variable metadata, then the
+    column header and data (timestamps rendered with the reference's
+    ``%Y-%m-%d %H:%M:%S.%f``). A directory of parts is exactly tsdat's
+    set of day-files and reads straight back through
+    :class:`~tsdat_spark.io.readers.A2eCSVReader`.
+
+    Distribution: the metadata block is built once on the driver from the
+    schema + declared attrs; each partition renders its rows with a single
+    vectorized ``to_csv`` and emits ONE file's text, written by Spark's csv
+    sink with quoting disabled (single column → the text passes through
+    verbatim, and parts keep the ``.csv`` extension the A2e reader globs).
+    """
+
+    def __init__(
+        self,
+        attrs: dict | None = None,
+        var_attrs: dict | None = None,
+        time_format: str = "%Y-%m-%d %H:%M:%S.%f",
+        partitions: int | None = None,
+        mode: str = "overwrite",
+    ):
+        self.attrs = dict(attrs or {})
+        self.var_attrs = {k: dict(v) for k, v in (var_attrs or {}).items()}
+        self.time_format = time_format
+        self.partitions = partitions
+        self.mode = mode
+
+    def _metadata_block(self, df: DataFrame) -> str:
+        def att_line(prefix: str, name: str, value) -> str:
+            rendered = f'"{value}"' if isinstance(value, str) else value
+            return f"{prefix}{name}={rendered}"
+
+        glines = [att_line("", k, v) for k, v in self.attrs.items()]
+        vlines = []
+        for col, typ in df.dtypes:
+            if typ in _SPARK_TO_NUMPY:
+                vlines.append(f"{col}:dtype={_SPARK_TO_NUMPY[typ]}")
+            for a, v in (self.var_attrs.get(col) or {}).items():
+                vlines.append(att_line(f"{col}:", a, v))
+        # header=N: the column header is file line N (a2e_csv_writer.py:73)
+        return "\n".join([f"header={len(glines) + len(vlines) + 1}", *glines, *vlines])
+
+    def write(self, df: DataFrame, path: str) -> None:
+        from typing import Iterator
+
+        import pandas as pd
+
+        block = self._metadata_block(df)
+        time_format = self.time_format
+        # Arrow hands integral columns with NULLs to pandas as float64+NaN;
+        # rendered as "123.0" they would no longer parse as the declared
+        # int dtype. Restore nullable Int dtypes before rendering so ints
+        # print as "123" / "" (round-trip-exact with A2eCSVReader).
+        int_cols = [c for c, t in df.dtypes
+                    if t in ("bigint", "long", "int", "smallint", "tinyint")]
+
+        def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            chunks = [b for b in batches if not b.empty]
+            if not chunks:
+                return  # no file for empty partitions
+            pdf = pd.concat(chunks, ignore_index=True)
+            for c in int_cols:
+                pdf[c] = pdf[c].astype("Int64")
+            data = pdf.to_csv(index=False, header=True, date_format=time_format)
+            yield pd.DataFrame({"value": [block + "\n" + data]})
+
+        staged = df.repartition(self.partitions) if self.partitions else df
+        (
+            staged.mapInPandas(render, "value string")
+            .write.mode(self.mode)
+            .option("quote", "")
+            .option("escape", "")
+            .csv(path)
+        )
+
+    __call__ = write
+
+
 def read_tier(
     spark: SparkSession,
     path: str,

@@ -148,13 +148,24 @@ def check_goring_nikora(
     n_points: int = 5000,
     out_col: str | None = None,
     confirm: bool = False,
+    block_parallel: bool = False,
 ):
     """Spark wrapper: per-series GN2002 spike mask as a boolean column
     ``out_col`` (default ``qc_gn_<var>``), one mapInPandas pass.
-    ``confirm`` as in :func:`goring_nikora_mask`."""
+    ``confirm`` as in :func:`goring_nikora_mask`.
+
+    ``block_parallel``: the published method is block-wise — every
+    ``n_points`` block of a series is despiked INDEPENDENTLY (mhkit ``npt``
+    semantics, zero coupling across block boundaries) — so a mega-series
+    need not be bound to one task: with ``block_parallel=True`` rows get a
+    per-series block index (one window rank) and the kernel repartitions on
+    ``(series, block)``, spreading a single huge series across the cluster
+    with BIT-IDENTICAL output to the sequential path. Costs one extra
+    JVM-side sort/shuffle, so it's opt-in for skewed deployments."""
     from typing import Iterator
 
     import pandas as pd
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from ..rollup.tiers import _group_slices
@@ -164,6 +175,14 @@ def check_goring_nikora(
     is_ts = dict(df.dtypes).get(order_col) == "timestamp"
     xexpr = F.unix_micros(F.col(order_col)).cast("double") if is_ts else F.col(order_col).cast("double")
     staged = df.withColumn("__x", xexpr)
+    if block_parallel and keys:
+        w = W.partitionBy(*keys).orderBy("__x")
+        staged = staged.withColumn(
+            "__blk", F.floor((F.row_number().over(w) - 1) / n_points)
+        )
+        part_keys = [*keys, "__blk"]
+    else:
+        part_keys = keys
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema += f", {out_col} boolean"
     out_cols = [*df.columns, out_col]
@@ -173,14 +192,16 @@ def check_goring_nikora(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        pdf = pdf.sort_values([*keys, "__x"], kind="stable", ignore_index=True)
-        pdf, gstarts, gends = _group_slices(pdf, keys)
+        pdf = pdf.sort_values([*part_keys, "__x"], kind="stable", ignore_index=True)
+        pdf, gstarts, gends = _group_slices(pdf, part_keys)
         vals = pdf[var].to_numpy(np.float64, na_value=np.nan)
         mask = np.zeros(len(pdf), dtype=bool)
         for s, e in zip(gstarts, gends):
+            # block_parallel groups are single ≤ n_points blocks, so the
+            # kernel's own block loop degenerates to one pass — same math
             mask[s:e] = goring_nikora_mask(vals[s:e], n_points=n_points, confirm=confirm)
         pdf[out_col] = mask
         yield pdf[out_cols]
 
-    grouped = staged.repartition(*keys) if keys else staged.coalesce(1)
+    grouped = staged.repartition(*part_keys) if part_keys else staged.coalesce(1)
     return grouped.mapInPandas(run, schema)

@@ -267,10 +267,11 @@ class PipelineSpec:
         raw = perform_data_retrieval(spark, input_keys, self.retriever, self.dataset)
         ctx = QCContext(series_keys=tuple(self.dataset.series_keys), order_cols=(self.dataset.ts_col,))
         writer = None
-        if self.storage.format == "csv":
-            from .io.writers import CSVDatasetWriter
+        if self.storage.format in ("csv", "a2e_csv"):
+            from .io.writers import A2eCSVDatasetWriter, CSVDatasetWriter
 
-            writer = CSVDatasetWriter(
+            cls = CSVDatasetWriter if self.storage.format == "csv" else A2eCSVDatasetWriter
+            writer = cls(
                 attrs=self.attrs,
                 var_attrs={n: v.attrs for n, v in self.dataset.variables.items() if v.attrs},
                 **self.storage.writer_parameters,
@@ -374,7 +375,7 @@ def _parse_quality(doc: dict, dataset: DatasetSpec) -> list[QualityManager]:
 
 _WRITER_FORMATS = {
     # handler/writer classname leaf -> engine storage format
-    "CSVHandler": "csv", "CSVWriter": "csv", "A2eCSVWriter": "csv",
+    "CSVHandler": "csv", "CSVWriter": "csv", "A2eCSVWriter": "a2e_csv",
     "ParquetHandler": "parquet", "ParquetWriter": "parquet",
     "NetCDFHandler": "parquet", "NetCDFWriter": "parquet",  # nc → columnar analog
 }
