@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": Q.q_lsh_pairs,
         "simhash16": Q.q_simhash16,
         "jaccard_pairs": Q.q_jaccard_pairs,
+        "dedup_clusters": Q.q_dedup_clusters,
         "fingerprint_winnow": Q.q_fingerprint_winnow,
         "knn_cosine": Q.q_knn_cosine,
         "embedding_top1": Q.q_embedding_top1,

@@ -1,0 +1,33 @@
+"""Connected components (min-label propagation) — the dedup clustering step."""
+
+import pytest
+
+from tsdat_spark.graph import connected_components
+
+
+def test_components_chains_and_isolated(spark):
+    # components: {1,2,3,4} (chain), {10,11}, isolated {20}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 20)], "doc_id bigint")
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_components_default_nodes_and_diameter(spark):
+    # a 12-node chain exercises multi-round propagation (diameter 11)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert set(got) == set(range(100, 112))
+    assert set(got.values()) == {100}
+
+
+def test_components_nonconvergence_raises(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(50, 58)],
+                                  "doc_a bigint, doc_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)

@@ -273,6 +273,31 @@ WHERE l.doc_id < r.doc_id
 """
 )
 
+ORACLES["dedup_clusters"] = (
+    _HASH_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + f", sig AS (SELECT doc_id,\n  {_MH_COLS}\nFROM hs)\n"
+    + f", banded AS (\n{_BAND_SELECTS}\n)\n"
+    + """
+, pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+  WHERE l.doc_id < r.doc_id
+), edges AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+), reach AS (
+  -- transitive closure by monotone label spread; UNION dedups -> terminates
+  SELECT doc_id AS node, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.a AS node, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id,
+       MIN(lbl) AS cluster_id,
+       (node = MIN(lbl)) AS is_keeper
+FROM reach
+GROUP BY node
+"""
+)
+
 _SIMHASH_BITS = "\n       + ".join(
     f"CASE WHEN list_sum(list_transform(ht, h -> CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
     for j in range(16)

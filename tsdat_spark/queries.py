@@ -419,6 +419,26 @@ def q_fingerprint_winnow(spark, sf_dir):
     return winnow_fingerprints(d.select("doc_id", "text"), n=3, window=4)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment — the step after candidate pairs that a
+    dedup pipeline actually acts on: LSH candidate pairs → connected
+    components (min-label propagation, tsdat_spark.graph) → every document
+    gets (cluster_id = smallest doc_id in its component, is_keeper).
+    Isolated documents are their own cluster/keeper."""
+    from .graph import connected_components
+    from .text.dedup import lsh_candidate_pairs, minhash_signature
+
+    d = _documents(spark, sf_dir)
+    sig = minhash_signature(d.select("doc_id", "text"), "text", k=16)
+    pairs = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
+    comp = connected_components(pairs, "doc_a", "doc_b", nodes=d.select("doc_id"))
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard similarity for same-source document pairs."""
     from .text.dedup import jaccard_pairs
