@@ -63,11 +63,26 @@ class JSONReader:
         return reader.json(path)
 
 
+def _lazy(modname: str, clsname: str):
+    """Deferred reader construction for the default dispatch table."""
+
+    class _Lazy:
+        def read(self, spark, path):
+            import importlib
+
+            mod = importlib.import_module(modname, package=__package__)
+            return getattr(mod, clsname)().read(spark, path)
+
+    return _Lazy()
+
+
 #: default pattern -> reader mapping (a retrieval yaml overrides this)
 DEFAULT_READERS: list[tuple[str, object]] = [
     (r".*\.csv$", CSVReader()),
     (r".*\.parquet$", ParquetReader()),
     (r".*\.json(l)?$", JSONReader()),
+    (r".*\.nc$", _lazy(".netcdf3", "NetCDF3Reader")),
+    (r".*\.zarr/?$", _lazy(".zarr2", "ZarrReader")),
 ]
 
 

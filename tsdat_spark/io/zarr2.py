@@ -1,0 +1,291 @@
+"""Pure-stdlib Zarr v2 store reader/writer (tsdat ZarrReader/ZarrWriter/
+ZarrLocalStorage analogs, ``tsdat/io/readers/zarr_reader.py:9-22``).
+
+Zarr v2 is a trivially simple public format: one directory per array with a
+``.zarray`` JSON (shape/chunks/dtype/compressor/fill_value) + ``.zattrs``,
+and one file per chunk named by its grid index. No zarr package is needed
+for the subset an engine store uses:
+
+- codecs: raw (``compressor: null``), ``zlib``, ``gzip`` (both stdlib).
+  ``blosc`` (the default of the zarr-python package, used by the
+  reference's test fixture) raises a clear error naming the boundary.
+- arrays: 1-D over a shared dimension (the engine's relational shape),
+  numeric + fixed-width unicode, uniform chunks (last may be partial) —
+  the xarray ``_ARRAY_DIMENSIONS`` convention is written and honored.
+
+Null widening: an int column containing NULLs is stored as ``<f8`` with NaN
+holes (int arrays have no NaN) — the same documented widening the NetCDF
+writer applies. On read the NaN holes cross the Arrow boundary as SQL
+NULLs (pyarrow ``from_pandas`` masks NaN), so nulls round-trip as nulls in
+a double column.
+
+Scale shape: the READER parallelizes over the chunk grid — one Spark task
+decodes chunk *i* of every column (alignment validated up front), so a
+billion-row store fans out across executors; the WRITER assigns global
+contiguous row indices (zipWithIndex), groups rows by ``idx // chunk_rows``
+(applyInPandas — each group is exactly one chunk) and writes chunk files
+from the executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _decompress(raw: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return raw
+    cid = compressor.get("id")
+    if cid in ("zlib", "gzip"):
+        import gzip as _gzip
+
+        return zlib.decompress(raw) if cid == "zlib" else _gzip.decompress(raw)
+    raise ValueError(
+        f"unsupported zarr compressor {cid!r}: only raw/zlib/gzip are "
+        "available without the blosc library (documented boundary)"
+    )
+
+
+def _compress(raw: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return raw
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.compress(raw, compressor.get("level", 6))
+    if cid == "gzip":
+        import gzip as _gzip
+
+        return _gzip.compress(raw, compressor.get("level", 6))
+    raise ValueError(f"unsupported zarr compressor {cid!r}")
+
+
+def read_zarr_meta(array_dir: str) -> tuple[dict, dict]:
+    """(.zarray metadata, .zattrs attrs) for one array directory."""
+    with open(os.path.join(array_dir, ".zarray")) as f:
+        meta = json.load(f)
+    if meta.get("zarr_format") != 2:
+        raise ValueError(f"not a zarr v2 array: {array_dir}")
+    if meta.get("order", "C") != "C":
+        raise ValueError("fortran-order zarr arrays unsupported")
+    if meta.get("filters"):
+        raise ValueError("zarr filters unsupported")
+    attrs_path = os.path.join(array_dir, ".zattrs")
+    attrs = {}
+    if os.path.exists(attrs_path):
+        with open(attrs_path) as f:
+            attrs = json.load(f)
+    return meta, attrs
+
+
+def read_zarr_chunk(array_dir: str, meta: dict, chunk_idx: int) -> np.ndarray:
+    """Decode 1-D chunk ``chunk_idx`` (fill_value for a missing chunk file)."""
+    (n,) = meta["shape"]
+    (cw,) = meta["chunks"]
+    count = min(cw, n - chunk_idx * cw)
+    dt = np.dtype(meta["dtype"])
+    path = os.path.join(array_dir, str(chunk_idx))
+    if not os.path.exists(path):
+        fv = meta.get("fill_value")
+        if fv is None:
+            fv = np.nan if dt.kind == "f" else "" if dt.kind == "U" else 0
+        return np.full(count, fv, dtype=dt)
+    with open(path, "rb") as f:
+        raw = _decompress(f.read(), meta.get("compressor"))
+    # a stored chunk is always full chunk width; trim the tail chunk
+    return np.frombuffer(raw, dtype=dt)[:count]
+
+
+def read_zarr_array(array_dir: str) -> np.ndarray:
+    meta, _ = read_zarr_meta(array_dir)
+    (n,), (cw,) = meta["shape"], meta["chunks"]
+    n_chunks = -(-n // cw) if n else 0
+    if n_chunks == 0:
+        return np.empty(0, dtype=np.dtype(meta["dtype"]))
+    return np.concatenate([read_zarr_chunk(array_dir, meta, i) for i in range(n_chunks)])
+
+
+def _spark_type(dt: np.dtype, attrs: dict) -> str:
+    if " since " in str(attrs.get("units", "")):
+        return "timestamp"
+    if dt.kind == "U":
+        return "string"
+    if dt.kind in ("i", "u"):
+        return "long"
+    return "double"
+
+
+@dataclass(frozen=True)
+class ZarrReader:
+    """Spark scan of a zarr v2 GROUP of aligned 1-D arrays: one task per
+    chunk index decodes that chunk of every column."""
+
+    dim: str = "time"
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        from typing import Iterator
+
+        import pandas as pd
+
+        arrays = sorted(
+            d for d in os.listdir(path)
+            if os.path.exists(os.path.join(path, d, ".zarray"))
+        )
+        if not arrays:
+            raise ValueError(f"no zarr arrays under {path}")
+        metas = {a: read_zarr_meta(os.path.join(path, a)) for a in arrays}
+        shapes = {tuple(m["shape"]) for m, _ in metas.values()}
+        chunks = {tuple(m["chunks"]) for m, _ in metas.values()}
+        if len(shapes) != 1 or len(chunks) != 1 or len(next(iter(shapes))) != 1:
+            raise ValueError(
+                f"ZarrReader needs aligned 1-D arrays; got shapes={shapes} chunks={chunks}"
+            )
+        (n,), (cw,) = next(iter(shapes)), next(iter(chunks))
+        n_chunks = -(-n // cw) if n else 0
+        cols = {a: _spark_type(np.dtype(m["dtype"]), attrs) for a, (m, attrs) in metas.items()}
+        schema = ", ".join(f"{a} {t}" for a, t in cols.items())
+        metas_ser = {a: m for a, (m, _) in metas.items()}
+        attrs_ser = {a: at for a, (_, at) in metas.items()}
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for ci in pdf["id"]:
+                    out = {}
+                    for a, typ in cols.items():
+                        arr = read_zarr_chunk(os.path.join(path, a), metas_ser[a], int(ci))
+                        if typ == "timestamp":
+                            units = str(attrs_ser[a].get("units"))
+                            base = pd.Timestamp(units.split(" since ")[1])
+                            unit = units.split(" since ")[0].strip()
+                            scale = {"seconds": 1_000_000, "milliseconds": 1_000,
+                                     "microseconds": 1, "days": 86_400_000_000}[unit]
+                            out[a] = base + pd.to_timedelta(
+                                (arr.astype("float64") * scale).astype("int64"), unit="us")
+                        elif typ == "long":
+                            out[a] = arr.astype("int64")
+                        elif typ == "string":
+                            out[a] = arr.astype(object)
+                        else:
+                            out[a] = arr.astype("float64")
+                    yield pd.DataFrame(out)
+
+        return spark.range(n_chunks).mapInPandas(parse, schema)
+
+
+class ZarrDatasetWriter:
+    """Engine sink: the table becomes a zarr v2 group — one 1-D array per
+    column, uniform ``chunk_rows`` chunks (last partial), zlib by default,
+    xarray ``_ARRAY_DIMENSIONS`` convention, timestamps as CF-style
+    ``microseconds since 1970-01-01`` int64. ``order_by`` fixes the row
+    order (zarr arrays are ordered; a DataFrame is not)."""
+
+    def __init__(self, chunk_rows: int = 100_000, order_by: list[str] | None = None,
+                 attrs: dict | None = None, var_attrs: dict | None = None,
+                 compressor: dict | None = {"id": "zlib", "level": 6},
+                 dim: str = "time"):
+        self.chunk_rows = chunk_rows
+        self.order_by = list(order_by or [])
+        self.attrs = dict(attrs or {})
+        self.var_attrs = {k: dict(v) for k, v in (var_attrs or {}).items()}
+        self.compressor = compressor
+        self.dim = dim
+
+    def write(self, df: DataFrame, path: str) -> None:
+        import pandas as pd
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+        if self.attrs:
+            with open(os.path.join(path, ".zattrs"), "w") as f:
+                json.dump(self.attrs, f)
+
+        ordered = df.orderBy(*self.order_by) if self.order_by else df
+        fields = [(fld.name, fld.dataType.simpleString()) for fld in df.schema.fields]
+        total = ordered.count()
+        cw, comp, dim = self.chunk_rows, self.compressor, self.dim
+
+        # One aggregate pass: global max width per string column, plus
+        # null-presence per int column — an int64 array has no NaN, so an
+        # int column containing nulls is declared <f8 instead (the same
+        # documented widening the NetCDF writer applies).
+        widths, nullable_ints = {}, set()
+        str_cols = [n for n, t in fields if t == "string"]
+        int_cols = [n for n, t in fields
+                    if t in ("bigint", "long", "int", "smallint", "tinyint")]
+        if (str_cols or int_cols) and total:
+            row = ordered.agg(
+                *[F.max(F.length(F.coalesce(F.col(c), F.lit("")))).alias(f"w_{c}")
+                  for c in str_cols],
+                *[F.max(F.col(c).isNull().cast("int")).alias(f"n_{c}")
+                  for c in int_cols],
+            ).first()
+            widths = {c: max(1, int(row[f"w_{c}"] or 1)) for c in str_cols}
+            nullable_ints = {c for c in int_cols if row[f"n_{c}"]}
+
+        # .zarray + .zattrs per column (driver-side, tiny)
+        for name, typ in fields:
+            adir = os.path.join(path, name)
+            os.makedirs(adir, exist_ok=True)
+            if typ == "timestamp":
+                dtype, extra = "<i8", {"units": "microseconds since 1970-01-01 00:00:00"}
+            elif typ in ("bigint", "long", "int", "smallint", "tinyint"):
+                dtype, extra = ("<f8", {}) if name in nullable_ints else ("<i8", {})
+            elif typ == "string":
+                dtype, extra = f"<U{widths.get(name, 1)}", {}
+            else:
+                dtype, extra = "<f8", {}
+            with open(os.path.join(adir, ".zarray"), "w") as f:
+                json.dump({"zarr_format": 2, "shape": [total], "chunks": [cw],
+                           "dtype": dtype, "compressor": comp, "fill_value": None,
+                           "filters": None, "order": "C"}, f)
+            with open(os.path.join(adir, ".zattrs"), "w") as f:
+                json.dump({"_ARRAY_DIMENSIONS": [dim],
+                           **extra, **self.var_attrs.get(name, {})}, f)
+        if total == 0:
+            return
+
+        # global contiguous row index -> chunk id; one applyInPandas group
+        # per chunk writes that chunk file for every column (executor-side).
+        # The index rides along because a grouped pandas frame arrives in
+        # arbitrary row order after the shuffle.
+        rdd = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], t[1], t[1] // cw))
+        indexed = df.sparkSession.createDataFrame(
+            rdd, ordered.schema.add("__idx", "long").add("__chunk", "long")
+        )
+        field_types = dict(fields)
+        widths_b = dict(widths)
+        nullable_b = set(nullable_ints)
+
+        def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__idx", ignore_index=True)
+            ci = int(pdf["__chunk"].iloc[0])
+            for name, typ in field_types.items():
+                col = pdf[name]
+                if typ == "timestamp":
+                    arr = col.astype("datetime64[us]").astype("int64").to_numpy()
+                elif typ in ("bigint", "long", "int", "smallint", "tinyint"):
+                    arr = (col.to_numpy(dtype="float64")  # nulls -> NaN
+                           if name in nullable_b else col.to_numpy(dtype="int64"))
+                elif typ == "string":
+                    arr = col.fillna("").to_numpy(dtype=f"<U{widths_b[name]}")
+                else:
+                    arr = col.to_numpy(dtype="float64")
+                if len(arr) < cw:  # zarr stores FULL-width chunks; pad the tail
+                    pad = np.zeros(cw - len(arr), dtype=arr.dtype)
+                    arr = np.concatenate([arr, pad])
+                arr = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
+                with open(os.path.join(path, name, str(ci)), "wb") as f:
+                    f.write(_compress(arr.tobytes(), comp))
+            return pd.DataFrame({"chunk": [ci], "rows": [len(pdf)]})
+
+        done = indexed.groupBy("__chunk").applyInPandas(write_chunk, "chunk long, rows long")
+        assert done.count() == -(-total // cw)
+
+    __call__ = write

@@ -105,7 +105,22 @@ _READER_FACTORIES = {
     "JSONReader": lambda p: JSONReader(schema=p.get("schema"), options=p.get("options", {})),
     "TarReader": _mk_archive_reader("tar"),
     "ZipReader": _mk_archive_reader("zip"),
+    # classic-format sci readers (from-spec, no netCDF4/zarr libs needed)
+    "NetCDFReader": lambda p: _nc3_reader(dim=p.get("dim", "time")),
+    "ZarrReader": lambda p: _zarr_reader(dim=p.get("dim", "time")),
 }
+
+
+def _nc3_reader(**kw):
+    from .io.netcdf3 import NetCDF3Reader
+
+    return NetCDF3Reader(**kw)
+
+
+def _zarr_reader(**kw):
+    from .io.zarr2 import ZarrReader
+
+    return ZarrReader(**kw)
 
 _CONVERTER_FACTORIES = {
     "StringToDatetime": lambda p: StringToDatetime(
@@ -267,10 +282,13 @@ class PipelineSpec:
         raw = perform_data_retrieval(spark, input_keys, self.retriever, self.dataset)
         ctx = QCContext(series_keys=tuple(self.dataset.series_keys), order_cols=(self.dataset.ts_col,))
         writer = None
-        if self.storage.format in ("csv", "a2e_csv"):
+        if self.storage.format in ("csv", "a2e_csv", "netcdf", "zarr"):
+            from .io.netcdf3 import NetCDF3DatasetWriter
             from .io.writers import A2eCSVDatasetWriter, CSVDatasetWriter
+            from .io.zarr2 import ZarrDatasetWriter
 
-            cls = CSVDatasetWriter if self.storage.format == "csv" else A2eCSVDatasetWriter
+            cls = {"csv": CSVDatasetWriter, "a2e_csv": A2eCSVDatasetWriter,
+                   "netcdf": NetCDF3DatasetWriter, "zarr": ZarrDatasetWriter}[self.storage.format]
             writer = cls(
                 attrs=self.attrs,
                 var_attrs={n: v.attrs for n, v in self.dataset.variables.items() if v.attrs},
@@ -377,7 +395,9 @@ _WRITER_FORMATS = {
     # handler/writer classname leaf -> engine storage format
     "CSVHandler": "csv", "CSVWriter": "csv", "A2eCSVWriter": "a2e_csv",
     "ParquetHandler": "parquet", "ParquetWriter": "parquet",
-    "NetCDFHandler": "parquet", "NetCDFWriter": "parquet",  # nc → columnar analog
+    "NetCDFHandler": "netcdf", "NetCDFWriter": "netcdf",
+    "SplitNetCDFWriter": "netcdf",
+    "ZarrHandler": "zarr", "ZarrWriter": "zarr",
 }
 
 
