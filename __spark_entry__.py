@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_1h": Q.q_interpolate_1h,
         "dedup_exact": Q.q_dedup_exact,
         "token_count": Q.q_token_count,
+        "token_count_bpe": Q.q_token_count_bpe,
         "text_quality": Q.q_text_quality,
         "lang_id": Q.q_lang_id,
         "minhash_signatures": Q.q_minhash_signatures,

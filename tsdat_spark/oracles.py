@@ -273,6 +273,15 @@ WHERE l.doc_id < r.doc_id
 """
 )
 
+ORACLES["token_count_bpe"] = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS DOUBLE)
+             / GREATEST(len(list_filter(string_split(text, ' '), x -> x != '')), 1), 6) AS bpe_per_word
+FROM documents
+"""
+
 ORACLES["dedup_clusters"] = (
     _HASH_CTE.replace("WITH d AS", "WITH RECURSIVE d AS", 1)
     + f", sig AS (SELECT doc_id,\n  {_MH_COLS}\nFROM hs)\n"

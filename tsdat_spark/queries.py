@@ -354,6 +354,28 @@ def q_token_count(spark, sf_dir):
     )
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct split,
+#: simplified to the RE2 ∩ java.util.regex common subset so the Spark and
+#: DuckDB sides count identically): letter runs, digit runs, single
+#: non-alnum-non-space marks.
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Tokenizer-aware counting: BPE-ish pre-tokenization (regexp matches)
+    next to the whitespace count — the pair a training-data pipeline uses
+    to estimate real token costs vs naive word counts."""
+    d = _documents(spark, sf_dir)
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(bpe.cast("double") / F.greatest(ws, F.lit(1)), 6).alias("bpe_per_word"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """Length / stopword-ratio / mean-word-length quality signals."""
     d = _documents(spark, sf_dir)
