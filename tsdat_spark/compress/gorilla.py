@@ -88,11 +88,13 @@ def _val_codes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     nz = ~zero
     if nz.any():
         x = xors[nz]
-        # leading zeros capped at 31 (5-bit field); trailing via lowest set bit
-        lead = np.minimum(63 - np.floor(np.log2(x.astype(np.float64))).astype(np.int64), 31)
-        trail = np.zeros_like(lead)
-        low = (x & (~x + np.uint64(1)))  # lowest set bit
-        trail = np.floor(np.log2(low.astype(np.float64))).astype(np.int64)
+        # Leading/trailing zero counts via an exact bit-matrix scan. NOT
+        # float log2: casting a uint64 near 2**64 to float64 rounds UP to
+        # exactly 2**64, making log2()==64 and lead==-1 (found by the
+        # hypothesis round-trip property on xors spanning all 64 bits).
+        bm = np.unpackbits(x.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
+        lead = np.minimum(bm.argmax(axis=1), 31).astype(np.int64)  # 5-bit cap
+        trail = bm[:, ::-1].argmax(axis=1).astype(np.int64)
         sig = 64 - lead - trail
         # header: '1' + 5b lead + 6b (sig-1)  → 12 bits
         header = (np.uint64(1) << np.uint64(11)) | (lead.astype(np.uint64) << np.uint64(6)) | (sig - 1).astype(np.uint64)

@@ -567,3 +567,21 @@ SELECT conv_id, turn_idx,
 FROM d
 """
 del ORACLES["qc_qc_monotonic_value_placeholder"]
+
+_CC = ORACLES["dedup_clusters"]
+# wrap the full recursive query as a subselect and join the quality columns
+ORACLES["clean_corpus"] = f"""
+WITH clusters AS (
+{_CC}
+), scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+         ROUND(CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('a','the','of','and'))) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), x -> x != '')), 6) AS stopword_score
+  FROM documents
+)
+SELECT s.doc_id, c.cluster_id, c.is_keeper, s.n_tokens, s.stopword_score,
+       (c.is_keeper AND s.stopword_score >= 0.02 AND s.n_tokens >= 5) AS in_clean_corpus
+FROM scored s JOIN clusters c ON s.doc_id = c.doc_id
+"""

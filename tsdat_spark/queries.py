@@ -461,6 +461,34 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_clean_corpus(spark, sf_dir):
+    """The end-to-end training-data pipeline composition: keep a document
+    iff it is (a) its near-dup cluster's keeper (LSH → connected
+    components), (b) language-identified 'en', and (c) above the quality
+    floor (≥5 tokens, stopword ratio ≥ 2%). Returns the clean-corpus
+    membership with the per-doc evidence columns."""
+    d = _documents(spark, sf_dir)
+    clusters = q_dedup_clusters(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(toks)
+    ratio = F.size(F.filter(toks, lambda x: x.isin("a", "the", "of", "and"))).cast("double") / n
+    scored = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(ratio, 6).alias("stopword_score"),
+    )
+    out = scored.join(clusters, "doc_id")
+    keep = (
+        F.col("is_keeper")
+        & (F.col("stopword_score") >= 0.02)
+        & (F.col("n_tokens") >= 5)
+    )
+    return out.select(
+        "doc_id", "cluster_id", "is_keeper", "n_tokens", "stopword_score",
+        keep.alias("in_clean_corpus"),
+    )
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard similarity for same-source document pairs."""
     from .text.dedup import jaccard_pairs
