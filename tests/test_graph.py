@@ -31,3 +31,13 @@ def test_components_nonconvergence_raises(spark):
                                   "doc_a bigint, doc_b bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+
+
+def test_components_nodes_missing_endpoint(spark):
+    """An edge endpoint absent from a caller-supplied node list must still
+    participate (previously an inner join silently split the component)."""
+    edges = spark.createDataFrame([(1, 2), (2, 9)], "doc_a bigint, doc_b bigint")
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")  # 9 missing
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 9: 1, 3: 3}

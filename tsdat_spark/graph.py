@@ -45,7 +45,14 @@ def connected_components(
     if nodes is None:
         node_ids = und.select(F.col("n").alias("node")).distinct()
     else:
-        node_ids = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+        # union edge endpoints in: an endpoint missing from a caller-supplied
+        # node list must still propagate (an inner label join would silently
+        # drop it and split its component)
+        node_ids = (
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+            .union(und.select(F.col("n").alias("node")))
+            .distinct()
+        )
 
     labels = node_ids.select("node", F.col("node").alias("lbl")).localCheckpoint(eager=True)
     for _ in range(max_iter):
