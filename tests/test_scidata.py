@@ -177,3 +177,107 @@ def test_zarr_null_int_widening(spark, tmp_path):
     rows = {r["i"]: r for r in back.collect()}
     assert rows[1]["holey"] is None and rows[3]["holey"] is None
     assert rows[2]["holey"] == 7.0 and rows[2]["full"] == 20
+
+
+def test_cf_time_units_and_nat_roundtrip(spark, tmp_path):
+    """CF 'hours since' units decode (previously KeyError); NULL timestamps
+    round-trip as NULLs through both sinks instead of INT64_MIN garbage."""
+    import pandas as pd
+
+    from tsdat_spark.io.cf import decode_cf_time, encode_cf_micros
+
+    got = decode_cf_time(np.array([0.0, 1.5, np.nan]), "hours since 2020-01-01")
+    assert got[0] == pd.Timestamp("2020-01-01")
+    assert got[1] == pd.Timestamp("2020-01-01 01:30:00")
+    assert pd.isna(got[2])
+    assert decode_cf_time(np.array([2.0]), "minutes since 2020-01-01")[0] == \
+        pd.Timestamp("2020-01-01 00:02:00")
+
+    enc = encode_cf_micros(np.array(["2020-01-01", "NaT"], dtype="datetime64[us]"))
+    assert enc[0] == 1577836800000000.0 and np.isnan(enc[1])
+
+    ddl = "time timestamp, v double"
+    rows = [(dt.datetime(2024, 5, 1, 0, 0, i), float(i)) for i in range(5)] + [(None, 99.0)]
+    df = spark.createDataFrame(rows, ddl)
+
+    z = str(tmp_path / "nat.zarr")
+    ZarrDatasetWriter(chunk_rows=4, order_by=["v"]).write(df, z)
+    zback = ZarrReader().read(spark, z).collect()
+    assert sum(1 for r in zback if r["time"] is None) == 1
+    assert {r["time"] for r in zback if r["time"] is not None} == \
+        {dt.datetime(2024, 5, 1, 0, 0, i) for i in range(5)}
+
+    nc = str(tmp_path / "nat_nc")
+    NetCDF3DatasetWriter(partitions=1).write(df, nc)
+    nback = NetCDF3Reader().read(spark, nc).collect()
+    assert sum(1 for r in nback if r["time"] is None) == 1
+
+
+def test_netcdf3_zero_len_attr_and_missing_var(spark, tmp_path):
+    """nelems=0 attributes are spec-legal (decode to []); a directory file
+    missing a declared variable null-fills instead of KeyError."""
+    blob = write_netcdf3({"time": np.datetime64("2024-06-01", "us") + np.arange(3) * np.timedelta64(1, "h"),
+                          "a": np.array([1.0, 2.0, 3.0]),
+                          "b": np.array([7.0, 8.0, 9.0])},
+                         global_attrs={"n": 3})
+    # splice a zero-length NC_INT attr in via the codec API instead: encode a
+    # file whose attr parse covers size-0 (direct _read_attrs unit)
+    import io as _io
+    import struct as _struct
+
+    from tsdat_spark.io.netcdf3 import _Cursor, _read_attrs
+
+    raw = (_struct.pack(">ii", 0x0C, 1)
+           + _struct.pack(">i", 1) + b"e\x00\x00\x00"  # name 'e'
+           + _struct.pack(">ii", 4, 0))                 # NC_INT, nelems=0
+    assert _read_attrs(_Cursor(raw)) == {"e": []}
+
+    d = str(tmp_path / "mixed_nc")
+    import os as _os
+    _os.makedirs(d)
+    with open(_os.path.join(d, "part-0.nc"), "wb") as f:
+        f.write(blob)
+    blob2 = write_netcdf3({"time": np.datetime64("2024-06-02", "us") + np.arange(2) * np.timedelta64(1, "h"),
+                           "a": np.array([4.0, 5.0])})  # no 'b'
+    with open(_os.path.join(d, "part-1.nc"), "wb") as f:
+        f.write(blob2)
+    rows = NetCDF3Reader().read(spark, d).collect()
+    assert len(rows) == 5
+    assert sum(1 for r in rows if r["b"] is None) == 2
+
+
+def test_archive_custom_extension_fallback(spark, tmp_path):
+    """A member matching a caller member_pattern with a non-csv/json
+    extension (.dat + custom sep) parses as CSV — regression for the
+    round-3 format gate that silently dropped such members."""
+    import io
+    import tarfile
+
+    from tsdat_spark.io.readers import TarReader
+
+    data = b"t|a\n1|2.5\n2|3.5\n"
+    tar_path = str(tmp_path / "dat.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        info = tarfile.TarInfo("x.dat"); info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    out = TarReader("t bigint, a double", member_pattern=r".*\.dat$", sep="|").read(
+        spark, tar_path).orderBy("t").collect()
+    assert [(r["t"], r["a"]) for r in out] == [(1, 2.5), (2, 3.5)]
+
+
+def test_a2e_attr_newline_escaped(spark, tmp_path):
+    """A newline inside a string attribute must not desync header=N."""
+    import datetime as dtm
+
+    from tsdat_spark.io.readers import read_a2e_header
+    from tsdat_spark.io.writers import A2eCSVDatasetWriter
+
+    df = spark.createDataFrame(
+        [(dtm.datetime(2024, 7, 1), 1.0)], "time timestamp, v double")
+    out = str(tmp_path / "a2e_nl")
+    A2eCSVDatasetWriter(attrs={"comment": "line1\nline2"}, partitions=1).write(df, out)
+    import glob
+    part = sorted(glob.glob(f"{out}/*.csv"))[0]
+    _, gattrs, _, _, columns = read_a2e_header(part)
+    assert gattrs["comment"] == "line1\\nline2"
+    assert columns == ["time", "v"]

@@ -96,7 +96,8 @@ def _read_attrs(cur: _Cursor) -> dict:
         nelems = cur.i4()
         v = cur.values(nc_type, nelems)
         if isinstance(v, np.ndarray):
-            v = v.tolist() if v.size > 1 else v[()].item() if v.ndim == 0 else v[0].item()
+            # nelems=0 is spec-legal: keep as empty list (v[0] would crash)
+            v = v[0].item() if v.size == 1 else v.tolist()
         out[name] = v
     return out
 
@@ -225,10 +226,12 @@ def write_netcdf3(
             prepared[name] = (2, [0, str_dims[key]], mat.tobytes())
         else:
             if a.dtype.kind == "M":
-                a = a.astype("datetime64[us]").astype("int64").astype(">f8")
+                from .cf import CF_EPOCH_US_UNITS, encode_cf_micros
+
+                a = encode_cf_micros(a).astype(">f8")  # NaT -> NaN, not INT64_MIN
                 var_attrs = {**var_attrs, name: {
                     **var_attrs.get(name, {}),
-                    "units": "microseconds since 1970-01-01 00:00:00",
+                    "units": CF_EPOCH_US_UNITS,
                 }}
                 nc_type = 6
             elif a.dtype == np.int64:
@@ -323,6 +326,8 @@ class NetCDF3Reader:
         else:
             candidates = sorted(_glob.glob(path)) or [path]
             load_path = path
+        if not candidates:
+            raise ValueError(f"no .nc files under {path!r}")
         with open(candidates[0], "rb") as f:
             _, _, variables = read_netcdf3(f.read())
         dim = self.dim
@@ -347,20 +352,28 @@ class NetCDF3Reader:
         want = dict(cols)
 
         def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .cf import decode_cf_time
+
             for pdf in batches:
                 for blob in pdf["content"]:
                     _, _, vs = read_netcdf3(bytes(blob))
+                    nrows = max((len(v["array"]) for v in vs.values()
+                                 if v["dims"] and v["dims"][0] == dim), default=0)
                     out = {}
                     for name, typ in want.items():
+                        if name not in vs:  # later file missing a declared var
+                            if typ == "string":
+                                out[name] = pd.Series([None] * nrows, dtype="object")
+                            elif typ == "timestamp":
+                                out[name] = pd.Series([pd.NaT] * nrows,
+                                                      dtype="datetime64[us]")
+                            else:
+                                out[name] = np.full(nrows, np.nan)
+                            continue
                         a = vs[name]["array"]
                         if typ == "timestamp":
                             units = str(vs[name]["attrs"].get("units", ""))
-                            base = pd.Timestamp(units.split(" since ")[1])
-                            unit = units.split(" since ")[0].strip()
-                            scale = {"seconds": 1_000_000, "milliseconds": 1_000,
-                                     "microseconds": 1, "days": 86_400_000_000}[unit]
-                            out[name] = base + pd.to_timedelta(
-                                (a.astype("float64") * scale).astype("int64"), unit="us")
+                            out[name] = decode_cf_time(a, units)
                         elif typ == "long":
                             out[name] = a.astype("int64")
                         elif typ == "string":

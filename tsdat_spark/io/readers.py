@@ -217,11 +217,13 @@ class ArchiveReader:
             return (
                 not any(re.match(e, name) for e in exclude)
                 and re.match(pattern, name) is not None
-                and any(re.match(p, name) for p, _ in formats)
             )
 
         def parse_member(name: str, data: bytes) -> pd.DataFrame:
-            fmt = next(f for p, f in formats if re.match(p, name))
+            # first matching format wins; a member that matches the caller's
+            # member_pattern but no format regex (e.g. .dat/.txt with a
+            # custom sep) parses as CSV — the pre-round-3 behavior
+            fmt = next((f for p, f in formats if re.match(p, name)), "csv")
             if fmt == "csv":
                 return pd.read_csv(_io.BytesIO(data), sep=sep)
             if fmt == "jsonl":

@@ -169,7 +169,12 @@ class A2eCSVDatasetWriter:
 
     def _metadata_block(self, df: DataFrame) -> str:
         def att_line(prefix: str, name: str, value) -> str:
-            rendered = f'"{value}"' if isinstance(value, str) else value
+            if isinstance(value, str):
+                # a raw newline would add an uncounted physical line and
+                # desync the header=N count; escape it (reader-visible '\n')
+                rendered = '"' + value.replace("\n", "\\n") + '"'
+            else:
+                rendered = value
             return f"{prefix}{name}={rendered}"
 
         glines = [att_line("", k, v) for k, v in self.attrs.items()]

@@ -160,13 +160,9 @@ class ZarrReader:
                     for a, typ in cols.items():
                         arr = read_zarr_chunk(os.path.join(path, a), metas_ser[a], int(ci))
                         if typ == "timestamp":
-                            units = str(attrs_ser[a].get("units"))
-                            base = pd.Timestamp(units.split(" since ")[1])
-                            unit = units.split(" since ")[0].strip()
-                            scale = {"seconds": 1_000_000, "milliseconds": 1_000,
-                                     "microseconds": 1, "days": 86_400_000_000}[unit]
-                            out[a] = base + pd.to_timedelta(
-                                (arr.astype("float64") * scale).astype("int64"), unit="us")
+                            from .cf import decode_cf_time
+
+                            out[a] = decode_cf_time(arr, str(attrs_ser[a].get("units")))
                         elif typ == "long":
                             out[a] = arr.astype("int64")
                         elif typ == "string":
@@ -234,7 +230,11 @@ class ZarrDatasetWriter:
             adir = os.path.join(path, name)
             os.makedirs(adir, exist_ok=True)
             if typ == "timestamp":
-                dtype, extra = "<i8", {"units": "microseconds since 1970-01-01 00:00:00"}
+                from .cf import CF_EPOCH_US_UNITS
+
+                # <f8 so NaT encodes as NaN (INT64_MIN would decode to a
+                # garbage date); NaN crosses back as SQL NULL on read
+                dtype, extra = "<f8", {"units": CF_EPOCH_US_UNITS}
             elif typ in ("bigint", "long", "int", "smallint", "tinyint"):
                 dtype, extra = ("<f8", {}) if name in nullable_ints else ("<i8", {})
             elif typ == "string":
@@ -269,7 +269,9 @@ class ZarrDatasetWriter:
             for name, typ in field_types.items():
                 col = pdf[name]
                 if typ == "timestamp":
-                    arr = col.astype("datetime64[us]").astype("int64").to_numpy()
+                    from .cf import encode_cf_micros
+
+                    arr = encode_cf_micros(col.to_numpy())
                 elif typ in ("bigint", "long", "int", "smallint", "tinyint"):
                     arr = (col.to_numpy(dtype="float64")  # nulls -> NaN
                            if name in nullable_b else col.to_numpy(dtype="int64"))
@@ -285,7 +287,14 @@ class ZarrDatasetWriter:
                     f.write(_compress(arr.tobytes(), comp))
             return pd.DataFrame({"chunk": [ci], "rows": [len(pdf)]})
 
-        done = indexed.groupBy("__chunk").applyInPandas(write_chunk, "chunk long, rows long")
-        assert done.count() == -(-total // cw)
+        # NB: count() is the action that runs the chunk-writing job — it must
+        # be a plain statement (inside an assert it would vanish under -O)
+        n_chunks_written = indexed.groupBy("__chunk").applyInPandas(
+            write_chunk, "chunk long, rows long"
+        ).count()
+        if n_chunks_written != -(-total // cw):
+            raise RuntimeError(
+                f"zarr write produced {n_chunks_written} chunks, expected {-(-total // cw)}"
+            )
 
     __call__ = write
