@@ -46,6 +46,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
+    # Host-weather probe: the sandbox VM's DRAM bandwidth is hypervisor-
+    # throttled in multi-minute episodes (up to 30x — BENCH.md §noise,
+    # membw_calibration.json). A single-thread 10M-double sort takes ~1-2 s
+    # on calm hardware; report it so a slow suite number is attributable.
+    import numpy as _np
+
+    _t0 = time.time()
+    _np.sort(_np.random.default_rng(0).random(10_000_000))
+    extra["host_probe_sort10m_sec"] = round(time.time() - _t0, 2)
+
     def run(name, thunk, repeats: int = 2):
         """Best-of-N timing: the host suffers transient starvation episodes
         (documented in BENCH.md), so a single-shot sample conflates engine
