@@ -132,6 +132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_top1": Q.q_embedding_top1,
         "ann_lsh": Q.q_ann_lsh,
         "tier_1m_tdigest": _tier_1m_tdigest,
+        "neardup_cosine": Q.q_neardup_cosine,
+        "ivf_assign": Q.q_ivf_assign,
+        "sample_stratified": Q.q_sample_stratified,
+        "top_tokens": Q.q_top_tokens,
+        "distinct_tier_hll": Q.q_distinct_tier_hll,
     }
 
 

@@ -75,7 +75,8 @@ def main() -> None:
         "standardize_transcripts", "rollup_1m", "rollup_1h", "tier_summary_1h",
         "qc_monotonic_value", "qc_std_value", "gap_fill_1h", "bin_average_30m",
         "nearest_1h", "interpolate_1h", "dedup_exact", "token_count",
-        "text_quality", "knn_cosine",
+        "text_quality", "knn_cosine", "top_tokens", "distinct_tier_hll",
+        "ivf_assign",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 

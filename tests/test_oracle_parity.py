@@ -14,6 +14,11 @@ SUBSET = [
     "bin_average_30m",
     "dedup_exact",
     "minhash_signatures",
+    "neardup_cosine",
+    "ivf_assign",
+    "sample_stratified",
+    "top_tokens",
+    "distinct_tier_hll",
 ]
 
 

@@ -238,3 +238,49 @@ def test_sessionize_stream_rejects_cross_batch_disorder(spark, tmp_path):
         q.processAllAvailable()
         q.awaitTermination(30)
     q.stop()
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """First occurrence of each md5 key survives; duplicates in the SAME
+    and in LATER micro-batches (within the watermark) are dropped."""
+    import datetime as dt
+
+    from tsdat_spark.streaming import dedup_stream
+
+    base = dt.datetime(2024, 3, 3)
+    ddl = "doc_id long, text_md5 string, ts timestamp"
+    drop1 = [
+        (1, "aaa", base),
+        (2, "bbb", base + dt.timedelta(minutes=1)),
+        (3, "aaa", base + dt.timedelta(minutes=2)),   # same-batch dup
+    ]
+    drop2 = [
+        (4, "bbb", base + dt.timedelta(minutes=3)),   # cross-batch dup
+        (5, "ccc", base + dt.timedelta(minutes=4)),   # new key
+    ]
+
+    src = str(tmp_path / "dd_src")
+    spark.createDataFrame(drop1, ddl).write.mode("overwrite").parquet(src)
+    q = (
+        dedup_stream(spark.readStream.schema(ddl).parquet(src), watermark="1 hour")
+        .writeStream.format("memory").queryName("dd_out")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(drop2, ddl).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from dd_out").collect()
+    # exactly one survivor per key; the batch-2 duplicate of 'bbb' (doc 4)
+    # MUST be dropped (cross-batch dedup is the guaranteed part); WITHIN
+    # batch 1 either copy of 'aaa' may survive (Spark keeps an arbitrary
+    # within-batch row — documented in dedup_stream)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["text_md5"], []).append(r["doc_id"])
+    assert {k: len(v) for k, v in by_key.items()} == {"aaa": 1, "bbb": 1, "ccc": 1}
+    assert by_key["aaa"][0] in (1, 3)
+    assert by_key["bbb"] == [2]      # doc 4 (later batch) never survives
+    assert by_key["ccc"] == [5]

@@ -585,3 +585,82 @@ SELECT s.doc_id, c.cluster_id, c.is_keeper, s.n_tokens, s.stopword_score,
        (c.is_keeper AND s.stopword_score >= 0.02 AND s.n_tokens >= 5) AS in_clean_corpus
 FROM scored s JOIN clusters c ON s.doc_id = c.doc_id
 """
+
+
+# --- round-3 additions: near-dup, IVF, sampling, tokens, HLL tier ---------
+
+# Exact embedding-cosine near-dup pairs at τ=0.45 (queries.NEARDUP_TAU).
+# The threshold filter runs on the UNROUNDED cosine on both sides; the
+# emitted value is rounded to 6.
+ORACLES["neardup_cosine"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine
+FROM p WHERE cos >= 0.45
+"""
+
+# IVF coarse quantization: centroids are the 16 lowest-id vectors
+# (queries.IVF_N_CELLS); assignment = argmax cosine, ties -> lowest
+# centroid id.
+ORACLES["ivf_assign"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 16
+), s AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM e, c
+), r AS (
+  SELECT vec_id, centroid_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+  FROM s
+)
+SELECT vec_id, centroid_id, round(cos, 6) AS cos FROM r WHERE rn = 1
+"""
+
+# Deterministic stratified sample: 50 smallest md5(doc_id) per language.
+ORACLES["sample_stratified"] = """
+WITH d AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, sample_key,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS INT) AS sample_rank
+  FROM d
+)
+SELECT doc_id, lang, sample_key, sample_rank FROM r WHERE sample_rank <= 50
+"""
+
+# Corpus heavy hitters: global top-20 whitespace tokens (ties -> token asc).
+ORACLES["top_tokens"] = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT token, COUNT(*) AS n_occurrences FROM toks GROUP BY 1
+), r AS (
+  SELECT token, n_occurrences,
+         CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS rank
+  FROM c
+)
+SELECT rank, token, n_occurrences FROM r WHERE rank <= 20
+"""
+
+# Mergeable HLL distinct tier: exact per-(role, day) distinct conv counts
+# compared exactly; the Spark side's hour-sketch-union estimate must land
+# within ±5% (est_within_5pct TRUE) — same bracket-boolean idiom as
+# tier_1m_tdigest, so an estimator regression flips the value hash.
+ORACLES["distinct_tier_hll"] = TRANSCRIPTS_CTE + """
+SELECT role, date_trunc('day', ts) AS day_start,
+       COUNT(DISTINCT conv_id) AS n_distinct_convs,
+       TRUE AS est_within_5pct
+FROM t GROUP BY 1, 2
+"""

@@ -526,14 +526,20 @@ def q_embedding_top1(spark, sf_dir):
     e = _embeddings(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     ).withColumn("nrm", _norm(F.col("v")))  # norm per ROW, never per pair
-    n = e.limit(TOP1_MAX_VECTORS + 1).count()
-    if n > TOP1_MAX_VECTORS:
+    # The query side must reach the driver anyway (it is broadcast), so the
+    # size guard is folded into that collection: pull at most cap+1 rows
+    # once, raise if over, and build the broadcast relation from the
+    # collected rows — no separate guard job.
+    q_rows = e.limit(TOP1_MAX_VECTORS + 1).collect()
+    if len(q_rows) > TOP1_MAX_VECTORS:
         raise ValueError(
             f"embedding_top1 is the exact verification path, bounded at "
             f"{TOP1_MAX_VECTORS} vectors; use vector.ann.ann_lsh_pairs for "
             f"larger inputs"
         )
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
+    q = spark.createDataFrame(q_rows, e.schema).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
     pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("nrm") * F.col("qnrm"))
@@ -582,4 +588,136 @@ def q_knn_cosine(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# ---------------- round-3 additions: near-dup, IVF, sampling, tokens -------
+
+# Exact embedding near-dup threshold: pairs at/above this cosine are dup
+# candidates. Tuned so the synthetic embeddings yield a non-trivial pair
+# set at every SF (7 / 14 / 144 pairs at sf0.001/0.01/0.1).
+NEARDUP_TAU = 0.45
+
+
+def q_neardup_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: all unordered pairs (a < b)
+    with cosine ≥ NEARDUP_TAU — the embedding analog of ``jaccard_pairs``.
+
+    This is the bounded EXACT verification path (broadcast one side, same
+    TOP1_MAX_VECTORS cap-via-collect as q_embedding_top1: the guard is the
+    broadcast collection itself, no extra job). The scale path for this
+    semantic is ``ann_lsh`` (bucketed LSH candidates + exact re-rank +
+    threshold filter) — LSH trades recall for O(n), so the exact pair set
+    here is also the recall yardstick the ANN pytest measures against.
+    """
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q_rows = e.limit(TOP1_MAX_VECTORS + 1).collect()
+    if len(q_rows) > TOP1_MAX_VECTORS:
+        raise ValueError(
+            f"neardup_cosine exact path bounded at {TOP1_MAX_VECTORS} vectors; "
+            "use vector.ann.ann_lsh_pairs + threshold for larger inputs"
+        )
+    q = spark.createDataFrame(q_rows, e.schema).select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") < F.col("id_b"))
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("nrm") * F.col("qnrm"))
+    return (
+        pairs.select(F.col("vec_id").alias("id_a"), "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= NEARDUP_TAU)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+IVF_N_CELLS = 16
+
+
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization over the embeddings table: every vector
+    assigned to its nearest of IVF_N_CELLS centroids (the lowest-id
+    vectors — deterministic, oracle-reproducible; see
+    vector.ann.collect_centroids). Map-only plan: centroids ride as
+    literal arrays inside the scan stage, zero shuffle."""
+    from .vector.ann import collect_centroids, ivf_assign
+
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = collect_centroids(e, IVF_N_CELLS)
+    return ivf_assign(e, cents)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified downsampling to a fixed per-stratum budget:
+    the 50 documents with the smallest md5(doc_id) per language. This is
+    the training-data "balance the language mix" primitive — hash-rank
+    sampling is reproducible across engines and runs (no RNG state), and
+    adding data never evicts more than the budget.
+
+    Plan note: rank-within-stratum is a single shuffle on lang. Strata are
+    few and huge at 100 TB, so the production shape for a fixed budget is
+    two-phase top-n (per-partition local top-50 via the same window after
+    ``sortWithinPartitions``, then global top-50 over ≤ 50·n_partitions
+    survivors); the semantics and output are identical, so the one-window
+    form is what the checked surface carries."""
+    d = _documents(spark, sf_dir)
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        d.select("doc_id", "lang", key.alias("sample_key"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= 50)
+    )
+
+
+def q_top_tokens(spark, sf_dir):
+    """Corpus heavy hitters: global top-20 whitespace tokens by occurrence
+    count (ties → lexicographically first token). Explode → partial-agg
+    count (map-side combine collapses each partition to its distinct
+    tokens) → TakeOrdered 20: the post-agg cardinality is vocabulary-sized,
+    never corpus-sized, so the final ordered limit is cheap at any scale."""
+    d = _documents(spark, sf_dir)
+    toks = d.select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    top = counts.orderBy(F.desc("n_occurrences"), "token").limit(20)
+    w = W.orderBy(F.desc("n_occurrences"), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "token", "n_occurrences"
+    )
+
+
+def q_distinct_tier_hll(spark, sf_dir):
+    """Mergeable-sketch distinct tier: per-(role, hour) HLL sketches of
+    conv_id, UNIONED up to (role, day) without touching raw data again —
+    the 100 TB shape for "distinct users per day" (re-aggregate stored
+    hour-tier sketches, never rescan turns; same two-phase pattern as the
+    t-digest tier).
+
+    Oracle contract (same bracket-boolean idiom as tier_1m_tdigest): the
+    exact per-day distinct count is compared exactly (computed Spark-side
+    with countDistinct, DuckDB-side with COUNT(DISTINCT)), and the HLL
+    estimate from the merged sketches must land within ±5% of it —
+    Spark emits the comparison as a boolean, the oracle emits literal
+    TRUE, so an estimator regression flips the value hash. Default HLL++
+    lgConfigK=12 gives ~1.6% standard error, comfortably inside 5% at
+    every SF."""
+    t = transcripts(spark, sf_dir)
+    hourly = t.groupBy(
+        "role", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.hll_sketch_agg("conv_id").alias("sk"))
+    daily_est = hourly.groupBy(
+        "role", F.date_trunc("day", "hour_start").alias("day_start")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    exact = t.groupBy("role", F.date_trunc("day", "ts").alias("day_start")).agg(
+        F.countDistinct("conv_id").alias("n_distinct_convs")
+    )
+    return exact.join(daily_est, ["role", "day_start"]).select(
+        "role", "day_start", "n_distinct_convs",
+        (
+            F.abs(F.col("est") - F.col("n_distinct_convs"))
+            <= F.lit(0.05) * F.col("n_distinct_convs")
+        ).alias("est_within_5pct"),
     )

@@ -237,3 +237,33 @@ def sessionize_stream(
     return stream_df.groupBy(conv_col).applyInPandasWithState(
         fn, _SESS_OUT, _SESS_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    key_cols=("text_md5",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: one occurrence of each key within the
+    watermark horizon survives; duplicates arriving in LATER micro-batches
+    are always dropped — the incremental-ingest twin of the batch
+    ``dedup_exact`` keeper query. Within a single micro-batch the surviving
+    copy is whichever row Spark's state store sees first (partition order,
+    not event order) — byte-identical duplicates make the choice
+    immaterial; callers needing the min-doc_id keeper run the batch
+    ``dedup_exact`` over the deduped stream's output.
+
+    Built on Structured Streaming's own ``dropDuplicates`` state store: the
+    watermark bounds state to keys seen in the last ``watermark`` of event
+    time (exactly the contract a continuously-landing crawl needs — a
+    duplicate landing a month later is a new document version, not a
+    replay). State is partitioned by key hash across executors, so the
+    dedup scales with the cluster like any keyed aggregation; an unbounded
+    no-watermark variant would grow state forever and is deliberately not
+    offered.
+    """
+    # dropDuplicatesWithinWatermark (not plain dropDuplicates): state for a
+    # key is evicted once the watermark passes it even though the event-time
+    # column is NOT part of the dedup key — the exact semantics above.
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))

@@ -42,6 +42,145 @@ def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def _cos(vec_a: Column, vec_b: Column, nrm_a: Column, nrm_b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(vec_a, vec_b, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (nrm_a * nrm_b)
+
+
+def _norm(vec: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def collect_centroids(df: DataFrame, n: int, id_col: str = "vec_id", vec_col: str = "v"):
+    """Deterministic coarse-quantizer 'training' stand-in: the n lowest-id
+    vectors ARE the centroids, collected to the driver as (id, vector)
+    pairs. A production deployment would k-means these (Spark MLlib KMeans
+    over a sample); the IVF *layout* — the part that matters for the query
+    plan — is identical either way, and lowest-id selection keeps the whole
+    pipeline oracle-reproducible in ANSI SQL. Centroid count is O(sqrt(n))
+    even at billions of vectors, so driver collection is always cheap."""
+    rows = df.orderBy(id_col).limit(n).select(id_col, vec_col).collect()
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_assign_expr(vec: Column, nrm: Column, centroids) -> Column:
+    """Nearest-centroid assignment as a PURE MAP expression (no join, no
+    shuffle): the centroid list is embedded as literal arrays and the
+    argmax is an ``array_max`` over (cos, -centroid_id) structs — highest
+    cosine, ties to lowest centroid id. Returns a struct column with
+    fields ``centroid_id`` and ``cos``.
+
+    This is the scale-correct IVF shape: assignment rides inside the scan
+    stage (whole-stage codegen), preserving the input partitioning for the
+    downstream cell-local search — nothing about the big side ever
+    shuffles. For very large cell counts (>~256) the literal-expression
+    program outgrows codegen; that regime calls for an Arrow-batched
+    pandas_udf computing one matmul per batch (same semantics, same
+    zero-shuffle shape) — documented escalation, not needed at the cell
+    counts this sandbox exercises.
+    """
+    import math
+
+    structs = []
+    for cid, cv in centroids:
+        lits = F.array(*[F.lit(float(x)) for x in cv])
+        cnrm = math.sqrt(sum(x * x for x in cv))
+        dot = F.aggregate(F.zip_with(vec, lits, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        cos = dot / (nrm * F.lit(cnrm))
+        structs.append(F.struct(cos.alias("cos"), F.lit(-cid).cast("long").alias("neg_id")))
+    best = F.array_max(F.array(*structs))
+    return F.struct((-best["neg_id"]).alias("centroid_id"), best["cos"].alias("cos"))
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF coarse quantization: one row per vector with its nearest
+    centroid by cosine (ties → lowest centroid id). ``centroids`` is the
+    driver-side list from :func:`collect_centroids`. Map-only plan — see
+    :func:`ivf_assign_expr`. Output: (id_col, centroid_id, cos)."""
+    e = df.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__nrm"))
+    b = ivf_assign_expr(F.col(vec_col), F.col("__nrm"), centroids)
+    return e.select(
+        id_col,
+        b["centroid_id"].alias("centroid_id"),
+        F.round(b["cos"], 6).alias("cos"),
+    )
+
+
+def ivf_search(
+    df: DataFrame,
+    queries_df: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """IVF top-k cosine search: probe the ``nprobe`` nearest cells per
+    query, exact re-rank within the probed cells (Jégou et al., PAMI 2011
+    coarse-quantizer layout re-expressed as DataFrame ops).
+
+    Scale shape: cell assignment of the big side is a zero-shuffle map
+    (:func:`ivf_assign_expr`); queries (small) are assigned to their nprobe
+    nearest cells and broadcast; candidates come from an equi-join on
+    centroid_id against the map-side-assigned scan — candidate volume is
+    ~nprobe/n_cells of the data instead of all of it, and the big side
+    never shuffles (broadcast hash join on the cell key). With
+    nprobe == n_cells this is exactly brute force (recall 1.0) — the
+    correctness anchor the pytest uses.
+
+    Output: (query_id, rank, neighbor_id, cosine), rank 1..k, ties →
+    lowest neighbor id.
+    """
+    from pyspark.sql import Window as W
+
+    e = df.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__nrm"))
+    cells = e.withColumn(
+        "centroid_id", ivf_assign_expr(F.col(vec_col), F.col("__nrm"), centroids)["centroid_id"]
+    )
+
+    q = queries_df.select(
+        F.col(query_id_col), F.col(query_vec_col), _norm(F.col(query_vec_col)).alias("__qnrm")
+    )
+    # nprobe nearest cells per query: rank the per-centroid cosines of the
+    # tiny query side (explode over literal centroid structs).
+    import math
+
+    cent = F.array(*[
+        F.struct(
+            F.lit(cid).cast("long").alias("centroid_id"),
+            F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            F.lit(math.sqrt(sum(x * x for x in cv))).alias("cnrm"),
+        )
+        for cid, cv in centroids
+    ])
+    qc = q.select(query_id_col, query_vec_col, "__qnrm", F.explode(cent).alias("c"))
+    qcos = _cos(F.col(query_vec_col), F.col("c.cv"), F.col("__qnrm"), F.col("c.cnrm"))
+    wq = W.partitionBy(query_id_col).orderBy(F.desc("__ccos"), F.col("centroid_id"))
+    probes = (
+        qc.select(query_id_col, query_vec_col, "__qnrm",
+                  F.col("c.centroid_id").alias("centroid_id"), qcos.alias("__ccos"))
+        .withColumn("__prank", F.row_number().over(wq))
+        .where(F.col("__prank") <= nprobe)
+        .drop("__ccos", "__prank")
+    )
+
+    cand = cells.join(F.broadcast(probes), "centroid_id").where(F.col(id_col) != F.col(query_id_col))
+    cos = _cos(F.col(vec_col), F.col(query_vec_col), F.col("__nrm"), F.col("__qnrm"))
+    return (
+        cand.select(query_id_col, F.col(id_col).alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(W.partitionBy(query_id_col).orderBy(F.desc("cos"), "neighbor_id")))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, F.col("rank").cast("int").alias("rank"), "neighbor_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def ann_lsh_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -73,3 +212,49 @@ def ann_lsh_pairs(
         F.col("bucket"),
         F.round(cos, 6).alias("cosine"),
     )
+
+def ivf_assign_matmul(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Large-cell-count escalation of :func:`ivf_assign`: one numpy matmul
+    per Arrow batch instead of n_cells literal expressions.
+
+    Same zero-shuffle shape (mapInPandas rides inside the scan stage, input
+    partitioning preserved), but batch cost is one (batch × dim)·(dim ×
+    n_cells) GEMM — the right tool once n_cells outgrows expression codegen
+    (~256+; IVF cell counts at billion-vector scale are 4k-64k). Ties →
+    lowest centroid id (centroid columns are ordered by id, argmax takes
+    the first maximum).
+
+    Note: matmul sums in a different order than the sequential fold of
+    :func:`ivf_assign_expr`, so cos can differ in the last ulp — use the
+    expression path where bit-exact oracle parity matters; assignments
+    agree except on exact ties (pytest-verified on real embeddings).
+    Output: (id_col, centroid_id, cos) — cos rounded to 6, like ivf_assign.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(centroids)
+    cids = np.array([c[0] for c in cents], dtype="int64")
+    C = np.array([c[1] for c in cents], dtype="float64")          # (m, dim)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    schema = f"{id_col} long, centroid_id long, cos double"
+
+    def fn(batches):
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype="float64")  # (b, dim)
+            nrm = np.linalg.norm(V, axis=1, keepdims=True)
+            cos = (V / nrm) @ Cn.T                                # (b, m)
+            best = cos.argmax(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "centroid_id": cids[best],
+                "cos": np.round(cos[np.arange(len(best)), best], 6),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
