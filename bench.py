@@ -136,6 +136,13 @@ def main() -> None:
 
 
     total = round(sum(timings.values()), 3)
+    # Round-over-round comparability: the suite gained three queries in
+    # round 3 (top_tokens, distinct_tier_hll, ivf_assign); this subtotal is
+    # the round-2 composition so BENCH_r{N} deltas compare like with like.
+    _r3_new = ("top_tokens", "distinct_tier_hll", "ivf_assign")
+    extra["suite_r02_comparable_sec"] = round(
+        sum(v for k, v in timings.items() if k not in _r3_new), 3
+    )
     print(json.dumps({
         "metric": "tsdat_spark_suite_sec",
         "value": total,

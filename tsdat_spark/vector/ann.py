@@ -73,22 +73,44 @@ def ivf_assign_expr(vec: Column, nrm: Column, centroids) -> Column:
     This is the scale-correct IVF shape: assignment rides inside the scan
     stage (whole-stage codegen), preserving the input partitioning for the
     downstream cell-local search — nothing about the big side ever
-    shuffles. For very large cell counts (>~256) the literal-expression
-    program outgrows codegen; that regime calls for an Arrow-batched
-    pandas_udf computing one matmul per batch (same semantics, same
-    zero-shuffle shape) — documented escalation, not needed at the cell
-    counts this sandbox exercises.
+    shuffles. The expression PROGRAM is flat in n_cells (one transform/fold
+    over a single literal array — measured flat plan-build 16→256 cells);
+    only the literal payload (n_cells·dim doubles) grows. Once that payload
+    is large (thousands of cells — IVF list counts at billion-vector scale
+    are 4k-64k) the per-row interpreted fold loses to one GEMM per Arrow
+    batch: use :func:`ivf_assign_matmul` there (same semantics, same
+    zero-shuffle shape).
     """
     import math
 
-    structs = []
-    for cid, cv in centroids:
-        lits = F.array(*[F.lit(float(x)) for x in cv])
-        cnrm = math.sqrt(sum(x * x for x in cv))
-        dot = F.aggregate(F.zip_with(vec, lits, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
-        cos = dot / (nrm * F.lit(cnrm))
-        structs.append(F.struct(cos.alias("cos"), F.lit(-cid).cast("long").alias("neg_id")))
-    best = F.array_max(F.array(*structs))
+    # ONE literal array of (neg_id, cv, cnrm) structs + ONE transform/fold
+    # program over it — the scoring expression appears once in the plan
+    # instead of once per centroid, so analysis/codegen cost is flat in
+    # n_cells (only the literal data grows). Semantics are identical to the
+    # unrolled form: same sequential zip_with/aggregate fold per centroid,
+    # same (cos, -id) struct-max tie-break.
+    # The literal is assembled as ONE SQL expression string: n_cells·dim
+    # separate F.lit() calls would each pay a py4j round trip (the measured
+    # dominant cost at 1000+ literals). repr(float) round-trips the exact
+    # double through Spark's SQL parser, so values are bit-identical to the
+    # F.lit form.
+    items = ",".join(
+        "named_struct('neg_id',{neg}L,'cv',array({cv}),'cnrm',{cn}D)".format(
+            neg=-cid,
+            cv=",".join(f"{float(x)!r}D" for x in cv),
+            cn=repr(math.sqrt(sum(x * x for x in cv))),
+        )
+        for cid, cv in sorted(centroids)
+    )
+    cent = F.expr(f"array({items})")
+
+    def score(c):
+        dot = F.aggregate(
+            F.zip_with(vec, c["cv"], lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        return F.struct((dot / (nrm * c["cnrm"])).alias("cos"), c["neg_id"].alias("neg_id"))
+
+    best = F.array_max(F.transform(cent, score))
     return F.struct((-best["neg_id"]).alias("centroid_id"), best["cos"].alias("cos"))
 
 
