@@ -45,63 +45,81 @@ def interpolate_linear(
     """Interpolate ``value_cols`` onto grid labels (see module docstring).
 
     ``range_s``: half-width of the candidate window around each label.
+
+    Join-free formulation (round 3): the two nearest candidates are always
+    among {2 before-or-at, 2 after} the label, so each DATA row carries its
+    own sample struct plus its lag (for the forward pass) and its lead (for
+    the backward pass); running ``last(..., ignorenulls)`` over the
+    data∪labels union — forward for (b1, b2), backward for (a1, a2) —
+    delivers all four bracketing candidates straight onto each label row.
+    Candidacy filtering, two-nearest selection, and the interpolation math
+    are then pure column expressions over a 4-element array. Plan: one
+    window over data + two window passes over the union on the SAME
+    partitioning — no explode, no equi-join, no aggregation, no
+    grid-completion join (the union already contains every label row).
+    The previous rank-explode(4)+join+groupBy shape paid ~5 exchanges for
+    the same result.
     """
     spark = df.sparkSession
     range_us = range_s * 1_000_000.0
 
-    # data rows: rank + center-aligned input bounds (one window scan)
-    wo = W.partitionBy(*series_keys).orderBy(ts_col)
+    wo = W.partitionBy(*series_keys).orderBy("__pos")
     data = _input_bounds_us(df, series_keys, ts_col, grid.interval_us)
-    data = data.withColumn("__rank", F.row_number().over(wo)).select(
-        *series_keys, "__rank", "__ts_us", "__in_start", "__in_end",
+    cstruct = F.struct(
+        ((F.col("__in_start") + F.col("__in_end")) / 2.0).alias("x"),
+        F.col("__in_start").alias("s"),
+        F.col("__in_end").alias("e"),
         *[F.col(v).cast("double").alias(v) for v in value_cols],
     )
+    data = (
+        data.select(*series_keys, F.col("__ts_us").alias("__pos"), cstruct.alias("__c"))
+        .withColumn("__fwd", F.struct(F.col("__c").alias("c"), F.lag("__c").over(wo).alias("p")))
+        .withColumn("__bwd", F.struct(F.col("__c").alias("c"), F.lead("__c").over(wo).alias("n")))
+        .select(*series_keys, "__pos", F.lit(0).alias("__is_grid"),
+                F.lit(None).cast("long").alias("bin_idx"), "__fwd", "__bwd")
+    )
 
-    # label rows: k = number of data samples at-or-before the label
     series = df.select(*series_keys).distinct()
     labels = series.crossJoin(F.broadcast(grid_dataframe(spark, grid))).select(
         *series_keys, "bin_idx",
-        F.unix_micros(F.col("label")).cast("double").alias("__t"),
+        F.unix_micros(F.col("label")).cast("double").alias("__pos"),
+        F.lit(1).alias("__is_grid"),
     )
-    u = data.select(*series_keys, F.col("__ts_us").alias("__pos"), F.lit(0).alias("__is_grid"),
-                    F.lit(None).cast("long").alias("bin_idx"), F.lit(None).cast("double").alias("__t")) \
-        .unionByName(labels.select(*series_keys, F.col("__t").alias("__pos"), F.lit(1).alias("__is_grid"),
-                                   "bin_idx", "__t"))
-    wu = W.partitionBy(*series_keys).orderBy("__pos", "__is_grid").rowsBetween(W.unboundedPreceding, 0)
-    u = u.withColumn("__k", F.sum(1 - F.col("__is_grid")).over(wu))
-    label_rows = u.where(F.col("__is_grid") == 1)
+    u = data.unionByName(labels, allowMissingColumns=True)
 
-    # 4 candidate ranks per label → one equi-join
-    cand = label_rows.withColumn(
-        "__rank",
-        F.explode(F.array(F.col("__k") - 1, F.col("__k"), F.col("__k") + 1, F.col("__k") + 2)),
-    ).where(F.col("__rank") >= 1)
-    joined = cand.join(data, [*series_keys, "__rank"], "inner")
+    # forward: last data row AT-OR-BEFORE the label (data sorts before the
+    # label at equal __pos) + its lag; backward: first data row STRICTLY
+    # AFTER (desc __is_grid puts the label first at equal __pos, excluding
+    # the tied data row already counted by the forward pass) + its lead.
+    wf = W.partitionBy(*series_keys).orderBy("__pos", "__is_grid").rowsBetween(W.unboundedPreceding, 0)
+    wb = W.partitionBy(*series_keys).orderBy(F.col("__pos").desc(), F.col("__is_grid").desc()).rowsBetween(W.unboundedPreceding, 0)
+    lab = (
+        u.withColumn("__b", F.last("__fwd", ignorenulls=True).over(wf))
+        .withColumn("__a", F.last("__bwd", ignorenulls=True).over(wb))
+        .where(F.col("__is_grid") == 1)
+    )
 
+    t = F.col("__pos")
     # candidacy: input bin overlaps [label - range, label + range)
-    out_start = F.col("__t") - F.lit(range_us)
-    out_end = F.col("__t") + F.lit(range_us)
-    joined = joined.where((F.col("__in_end") > out_start) & (F.col("__in_start") < out_end))
+    cands = F.filter(
+        F.array(F.col("__b.p"), F.col("__b.c"), F.col("__a.c"), F.col("__a.n")),
+        lambda c: c.isNotNull() & (c["e"] > t - F.lit(range_us)) & (c["s"] < t + F.lit(range_us)),
+    )
 
-    mid = (F.col("__in_start") + F.col("__in_end")) / 2.0
-    cstruct = F.struct(
-        F.abs(mid - F.col("__t")).alias("adist"),
-        mid.alias("x"),
-        *[F.col(v).alias(v) for v in value_cols],
-    )
-    agg = joined.groupBy(*series_keys, "bin_idx", "__t").agg(
-        F.slice(F.array_sort(F.collect_list(cstruct)), 1, 2).alias("__near")
-    )
+    def _rank_struct(c):
+        return F.struct(
+            F.abs(c["x"] - t).alias("adist"), c["x"].alias("x"),
+            *[c[v].alias(v) for v in value_cols],
+        )
+
+    near = F.slice(F.array_sort(F.transform(cands, _rank_struct)), 1, 2)
+    lab = lab.withColumn("__near", near)
 
     c1 = F.element_at(F.col("__near"), 1)
     c2 = F.element_at(F.col("__near"), 2)
     has2 = F.size(F.col("__near")) >= 2
-    t = F.col("__t")
     x1, x2 = c1["x"], c2["x"]
     same_side = ((x1 < t) & (x2 < t)) | ((x1 > t) & (x2 > t))
-
-    # complete the grid so labels with zero candidates still appear
-    full = labels.join(agg, [*series_keys, "bin_idx", "__t"], "left")
 
     out = [*series_keys, F.timestamp_micros(t.cast("long")).alias("label")]
     for v in value_cols:
@@ -117,4 +135,4 @@ def interpolate_linear(
             F.when(same_side, QC_EXTRAPOLATE).otherwise(0)
         )
         out.append(qc.cast("int").alias(f"qc_{v}"))
-    return full.select(*out)
+    return lab.select(*out)
