@@ -67,7 +67,11 @@ def main() -> None:
 
     from scaling_bench import GEN, run_leg
 
+    import atexit
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="calm_batch_")
+    atexit.register(shutil.rmtree, tmp, True)
     base = os.path.join(tmp, "base")
     gen = subprocess.run([sys.executable, "-c", GEN.format(repo=REPO, n_turns=n_turns, base=base)],
                         capture_output=True, text=True, timeout=3600)
@@ -113,13 +117,15 @@ def main() -> None:
         r = s["result"]
         return r.get("points_per_sec") or r.get("rollup_points_per_sec")
 
-    best = {}
-    for k, ss in samples.items():
-        pool = [s for s in ss if s["accepted"]] or ss
-        if pool:
-            best[k] = max(pps(s) for s in pool)
+    # calm figures come ONLY from accepted samples — a component with no
+    # accepted sample is reported separately (best_any) and excluded from
+    # the calm ratios rather than silently substituting a throttled number
+    best = {k: max(pps(s) for s in ss if s["accepted"])
+            for k, ss in samples.items() if any(s["accepted"] for s in ss)}
+    best_any = {k: max(pps(s) for s in ss) for k, ss in samples.items() if ss}
     out = {"n_turns": len(pdf), "calm_threshold_s": calm_s,
-           "best_calm_points_per_sec": best, "samples": samples}
+           "best_calm_points_per_sec": best,
+           "best_any_points_per_sec": best_any, "samples": samples}
     if "engine_32" in best and "single_node" in best:
         out["engine32_vs_single_node_calm"] = round(best["engine_32"] / best["single_node"], 2)
     if "engine_32" in best and "engine_8" in best:

@@ -16,13 +16,13 @@ and ``_interpolate_single_point.py:1-34``:
 - value = y1 + (y2−y1)/(x2−x1)·(t−x1) (same line extended for
   extrapolation).
 
-Spark-first formulation: the two nearest candidates are always among the
-{2 before, 2 after} data samples around the label, so the union-window rank
-trick finds them without any interval join: data rows get a per-series
-rank; a window over the union counts data rows at-or-before each label;
-each label explodes 4 candidate ranks and equi-joins back to the data.
-Shuffles: one window exchange + one equi-join on (series, rank) — both on
-the same key family, AQE-coalesced; fan-out is a constant 4.
+Spark-first formulation (join-free, round 3): the two nearest candidates
+are always among the {2 before-or-at, 2 after} data samples around the
+label, and both pairs ride to every label row on running ``last(...,
+ignorenulls)`` windows over the data∪labels union — forward for the
+before-pair (each data row carries its own struct + its lag), backward for
+the after-pair (struct + lead). No interval join, no explode, no
+aggregation; see ``interpolate_linear`` for the plan accounting.
 """
 
 from __future__ import annotations

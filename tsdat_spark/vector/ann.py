@@ -59,8 +59,17 @@ def collect_centroids(df: DataFrame, n: int, id_col: str = "vec_id", vec_col: st
     plan — is identical either way, and lowest-id selection keeps the whole
     pipeline oracle-reproducible in ANSI SQL. Centroid count is O(sqrt(n))
     even at billions of vectors, so driver collection is always cheap."""
+    import math
+
     rows = df.orderBy(id_col).limit(n).select(id_col, vec_col).collect()
-    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+    for cid, cv in cents:
+        if not all(math.isfinite(x) for x in cv):
+            # caught here, next to the data, instead of as an unparseable
+            # 'nanD' literal deep inside F.expr (ivf_assign_expr) or a
+            # silently-NaN assignment (ivf_assign_matmul)
+            raise ValueError(f"centroid vector {cid} contains non-finite components")
+    return cents
 
 
 def ivf_assign_expr(vec: Column, nrm: Column, centroids) -> Column:
