@@ -85,8 +85,11 @@ def main() -> None:
     pdf = prep(pq.read_table(base).to_pandas())
     print(f"pandas input ready: {len(pdf)} turns", flush=True)
 
+    from singlenode_baseline import rollup_engine_kernel
+
     comps = {
         "single_node": lambda: single_node(pdf),
+        "single_node_samejob": lambda: rollup_engine_kernel(pdf, os.path.join(tmp, "osn")),
         "engine_8": lambda: run_leg(8, REPO, base, os.path.join(tmp, "o8")),
         "engine_32": lambda: run_leg(32, REPO, base, os.path.join(tmp, "o32")),
     }

@@ -111,12 +111,86 @@ def rollup_vectorized(t: pd.DataFrame, grain_us: int) -> int:
     return len(starts)
 
 
+def rollup_engine_kernel(pdf: pd.DataFrame, outdir: str) -> dict:
+    """IDENTICAL-WORK single-node cascade: same columns, same t-digest
+    kernel, same tier dataflow as the engine's pinned legs
+    (``scaling_bench.WORKER``) — 1m from raw incl. per-group digest blobs
+    written to parquet, 1h re-aggregated from the written 1m tier (digest
+    MERGE, not recompute) and written, 1d re-aggregated from 1h (computed,
+    not written, exactly like the leg's ``.count()``). The vectorized /
+    reference_style variants above measure a LIGHTER job (no digests, no
+    persistence); this one is the apples-to-apples single-node ceiling the
+    "matches-or-beats single-node throughput" claim compares against.
+    Reuses the engine's own kernels (``_group_slices``,
+    ``fast_bytes_from_sorted``, ``fast_merge_bytes``) single-threaded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsdat_spark.rollup.tdigest import fast_bytes_from_sorted, fast_merge_bytes
+    from tsdat_spark.rollup.tiers import _group_slices
+
+    os.makedirs(outdir, exist_ok=True)
+    keys = ["conv_id", "role", "bin_us"]
+    timings: dict[str, float] = {}
+    points = 0
+
+    # --- 1m from raw ------------------------------------------------------
+    t0 = time.time()
+    t = pdf[["conv_id", "role", "ts_us", "token_len", "latency_us"]].copy()
+    t["bin_us"] = (t["ts_us"] // GRAIN_US["1m"]) * GRAIN_US["1m"]
+    t, starts, ends = _group_slices(t, keys)
+    tok = t["token_len"].to_numpy(np.float64, na_value=np.nan)
+    lat = t["latency_us"].to_numpy(np.float64, na_value=np.nan)
+    lat_ok = ~np.isnan(lat)
+    out = t.iloc[starts][keys].reset_index(drop=True)
+    out["n_turns"] = (ends - starts).astype("int64")
+    out["token_len_sum"] = np.add.reduceat(np.nan_to_num(tok), starts).astype("int64")
+    out["n_latency"] = np.add.reduceat(lat_ok.astype(np.int64), starts)
+    out["latency_tdigest"] = [
+        fast_bytes_from_sorted(np.sort(lat[s:e][lat_ok[s:e]]), 100.0)
+        for s, e in zip(starts, ends)
+    ]
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), f"{outdir}/t1m.parquet")
+    timings["1m"] = time.time() - t0
+    points += len(out)
+
+    # --- coarser tiers by digest merge from the WRITTEN finer tier --------
+    prev_path = f"{outdir}/t1m.parquet"
+    for grain, write in (("1h", True), ("1d", False)):
+        t0 = time.time()
+        fine = pq.read_table(prev_path).to_pandas()
+        fine["bin_us"] = (fine["bin_us"] // GRAIN_US[grain]) * GRAIN_US[grain]
+        fine, starts, ends = _group_slices(fine, keys)
+        out = fine.iloc[starts][keys].reset_index(drop=True)
+        for c in ("n_turns", "token_len_sum", "n_latency"):
+            out[c] = np.add.reduceat(fine[c].to_numpy(np.float64), starts).astype("int64")
+        blobs = fine["latency_tdigest"].tolist()
+        out["latency_tdigest"] = [
+            fast_merge_bytes(blobs[s:e], 100.0)[0] for s, e in zip(starts, ends)
+        ]
+        if write:
+            prev_path = f"{outdir}/t{grain}.parquet"
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False), prev_path)
+        timings[grain] = time.time() - t0
+        points += len(out)
+
+    total = sum(timings.values())
+    return {"sec": round(total, 2), "rolled_points": points,
+            "points_per_sec": round(points / total, 1),
+            "per_grain_sec": {k: round(v, 2) for k, v in timings.items()}}
+
+
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
     pdf = prep(make_input(n_turns))
     print(f"input: {len(pdf)} turns", flush=True)
 
+    import tempfile
+
     results: dict[str, dict] = {}
+    with tempfile.TemporaryDirectory(prefix="singlenode_tiers_") as td:
+        results["engine_kernel_samejob"] = rollup_engine_kernel(pdf, td)
+    print("engine_kernel_samejob:", json.dumps(results["engine_kernel_samejob"]), flush=True)
     for name, fn in (("vectorized", rollup_vectorized), ("reference_style", rollup_reference_style)):
         total_s, total_pts = 0.0, 0
         per = {}
