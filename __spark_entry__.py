@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_1m_tdigest": _tier_1m_tdigest,
         "neardup_cosine": Q.q_neardup_cosine,
         "ivf_assign": Q.q_ivf_assign,
+        "ivf_search": Q.q_ivf_search,
         "sample_stratified": Q.q_sample_stratified,
         "top_tokens": Q.q_top_tokens,
         "distinct_tier_hll": Q.q_distinct_tier_hll,

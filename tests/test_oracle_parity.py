@@ -16,6 +16,7 @@ SUBSET = [
     "minhash_signatures",
     "neardup_cosine",
     "ivf_assign",
+    "ivf_search",
     "sample_stratified",
     "top_tokens",
     "distinct_tier_hll",

@@ -13,6 +13,26 @@ from tsdat_spark.synth import SynthSpec, generate_transcripts
 KEYS = ["conv_id", "role"]
 
 
+@pytest.fixture(autouse=True)
+def _quiesce_streams(spark):
+    """Streaming isolation: no test starts while another test's query (or a
+    deliberately-failed one, e.g. the disorder test) still owns state-store
+    maintenance threads or a memory sink. Stops stray active queries on both
+    sides of every test in this module."""
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    spark.streams.resetTerminated()
+    yield
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+
+
 @pytest.fixture(scope="module")
 def turns(spark):
     df = with_turn_latency(with_token_len(generate_transcripts(

@@ -148,3 +148,64 @@ def test_ivf_assign_matmul_agrees_with_expression_path(vecs):
     a = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(vecs, cents).collect()}
     b = {r["vec_id"]: r["centroid_id"] for r in ivf_assign_matmul(vecs, cents).collect()}
     assert a == b
+
+
+def test_lsh_multi_table_or_amplification_recall(spark, vecs):
+    """OR-amplification: plant deterministic near-duplicates at cos ~ 0.95
+    (the realistic near-dup regime; the raw fixture's max pair cosine is
+    ~0.45 near-random, where no LSH setting is meaningful) and measure
+    recall of the planted pair set. Per-table collision p = (1 - θ/π)^8
+    with θ ≈ 18° → p ≈ 0.43, so expected recall ≈ 0.43 / 0.81 / 0.97 at
+    T = 1 / 3 / 6 — assert monotone in T and ≥ 0.9 at T=6 (≈ 3.5σ above
+    the floor with 60 pairs)."""
+    import numpy as np
+
+    from tsdat_spark.vector.ann import ann_lsh_pairs_multi
+
+    base = {r["vec_id"]: np.array(r["v"]) for r in vecs.where("vec_id < 60").collect()}
+    dim = len(next(iter(base.values())))
+    rng = np.random.RandomState(42)
+    phi = np.deg2rad(18.0)
+    rows = []
+    for vid, v in base.items():
+        u = rng.standard_normal(dim)
+        u -= u @ v / (v @ v) * v                   # orthogonal component
+        w = v / np.linalg.norm(v) * np.cos(phi) + u / np.linalg.norm(u) * np.sin(phi)
+        rows.append((100000 + vid, [float(x) for x in w * np.linalg.norm(v)]))
+    planted = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    corpus = vecs.unionByName(planted)
+    expected = {(vid, 100000 + vid) for vid in base}
+
+    recalls = []
+    for n_tables in (1, 3, 6):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ann_lsh_pairs_multi(corpus, n_planes=8, n_tables=n_tables, dim=dim).collect()
+        }
+        recalls.append(len(got & expected) / len(expected))
+    assert recalls == sorted(recalls), recalls          # monotone in T
+    assert recalls[-1] >= 0.9, recalls
+
+
+def test_lsh_multi_candidates_superset_of_single_table(vecs):
+    """Deterministic invariant: table 0 of the multi form uses the same
+    seed as the single-table form, so the T=3 candidate pair set must be a
+    superset of the single-table pair set."""
+    from tsdat_spark.vector.ann import ann_lsh_pairs, ann_lsh_pairs_multi
+
+    dim = len(vecs.select("v").first()[0])
+    single = {(r["id_a"], r["id_b"]) for r in ann_lsh_pairs(vecs, n_planes=8, dim=dim).collect()}
+    multi = {(r["id_a"], r["id_b"]) for r in ann_lsh_pairs_multi(vecs, n_planes=8, n_tables=3, dim=dim).collect()}
+    assert single <= multi
+    assert len(multi) > len(single)
+
+
+def test_lsh_multi_single_table_matches_single_table_form(vecs):
+    """n_tables=1 multi form == the single-table form's pair set (same
+    seed, same planes), scored identically."""
+    from tsdat_spark.vector.ann import ann_lsh_pairs, ann_lsh_pairs_multi
+
+    dim = len(vecs.select("v").first()[0])
+    a = {(r["id_a"], r["id_b"], r["cosine"]) for r in ann_lsh_pairs(vecs, n_planes=8, dim=dim).collect()}
+    b = {(r["id_a"], r["id_b"], r["cosine"]) for r in ann_lsh_pairs_multi(vecs, n_planes=8, n_tables=1, dim=dim).collect()}
+    assert a == b

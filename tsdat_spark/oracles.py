@@ -626,6 +626,59 @@ WITH e AS (
 SELECT vec_id, centroid_id, round(cos, 6) AS cos FROM r WHERE rn = 1
 """
 
+# IVF top-5 search, production nprobe=4 path: the oracle replays the whole
+# deterministic algorithm — assign every vector to its argmax-cosine cell,
+# rank each query's 4 nearest cells, exact re-rank within probed cells.
+# Ties everywhere -> lowest id, matching the Spark row_number orderings.
+ORACLES["ivf_search"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 16
+), s AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM e, c
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+    FROM s
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
+), qs AS (
+  SELECT q.query_id, c.centroid_id,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM q, c
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT query_id, centroid_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, centroid_id) AS rn
+    FROM qs
+  ) WHERE rn <= 4
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id != p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(ev.v, q.qv)
+           / (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM cand
+  JOIN e ev ON ev.vec_id = cand.neighbor_id
+  JOIN q ON q.query_id = cand.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
 # Deterministic stratified sample: 50 smallest md5(doc_id) per language.
 ORACLES["sample_stratified"] = """
 WITH d AS (

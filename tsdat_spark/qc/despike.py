@@ -203,5 +203,13 @@ def check_goring_nikora(
         pdf[out_col] = mask
         yield pdf[out_cols]
 
-    grouped = staged.repartition(*part_keys) if part_keys else staged.coalesce(1)
+    # Explicit partition count ahead of the Python-heavy kernel: repartition
+    # by columns alone is AQE-coalescible toward byte targets, which would
+    # serialize this CPU-bound stage onto a handful of cores (same hazard —
+    # and same fix — as rollup/tiers.py's merge stage).
+    if part_keys:
+        n_shuffle = int(staged.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        grouped = staged.repartition(n_shuffle, *part_keys)
+    else:
+        grouped = staged.coalesce(1)
     return grouped.mapInPandas(run, schema)

@@ -130,7 +130,13 @@ def cubic_spline_interp(
         pdf[var] = filled
         yield pdf[out_cols]
 
-    staged = flagged.repartition(*keys) if keys else flagged.coalesce(1)
+    # Explicit partition count for the same AQE-coalescing reason as
+    # rollup/tiers.py and qc/despike.py: keep the Python spline stage wide.
+    if keys:
+        n_shuffle = int(flagged.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        staged = flagged.repartition(n_shuffle, *keys)
+    else:
+        staged = flagged.coalesce(1)
     return staged.mapInPandas(run, schema)
 
 

@@ -650,6 +650,33 @@ def q_ivf_assign(spark, sf_dir):
     return ivf_assign(e, cents)
 
 
+IVF_NPROBE = 4
+
+
+def q_ivf_search(spark, sf_dir):
+    """IVF top-5 cosine search, PRODUCTION path (nprobe=4 of 16 cells —
+    not the degenerate full-probe form): queries are the vectors with
+    vec_id < 20 (same query set as knn_cosine), candidates come only from
+    each query's 4 nearest cells. The whole algorithm — cell assignment,
+    probe ranking, cell-local re-rank — is deterministic, so the oracle
+    replays it exactly in SQL and the hash check covers the real ANN
+    dataflow, not just its brute-force limit.
+
+    Scale shape (vector/ann.ivf_search): big-side assignment is a
+    zero-shuffle map, probes are broadcast, candidates are a broadcast
+    equi-join on centroid_id — the big side never shuffles."""
+    from .vector.ann import collect_centroids, ivf_search
+
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = collect_centroids(e, IVF_N_CELLS)
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_search(e, q, cents, k=5, nprobe=IVF_NPROBE)
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified downsampling to a fixed per-stratum budget:
     the 50 documents with the smallest md5(doc_id) per language. This is
@@ -657,18 +684,30 @@ def q_sample_stratified(spark, sf_dir):
     sampling is reproducible across engines and runs (no RNG state), and
     adding data never evicts more than the budget.
 
-    Plan note: rank-within-stratum is a single shuffle on lang. Strata are
-    few and huge at 100 TB, so the production shape for a fixed budget is
-    two-phase top-n (per-partition local top-50 via the same window after
-    ``sortWithinPartitions``, then global top-50 over ≤ 50·n_partitions
-    survivors); the semantics and output are identical, so the one-window
-    form is what the checked surface carries."""
+    Plan note (two-phase top-n — the 100 TB shape): strata are few and huge,
+    so a single rank window partitioned by lang would sort each whole
+    stratum in one task chain. Instead phase 1 ranks within
+    (stratum, input-partition) — the shuffle key carries
+    ``spark_partition_id``, so every reducer group is bounded by one input
+    split and no task ever holds a whole stratum — keeping ≤ 50 survivors
+    per (stratum, split). Phase 2 ranks the ≤ 50·n_splits survivors per
+    stratum exactly; its whole-stratum window runs over a budget-bounded
+    input, not the corpus. Output is identical to the one-window form
+    (hash-rank is deterministic; every global top-50 row is necessarily in
+    its split's local top-50)."""
     d = _documents(spark, sf_dir)
     key = F.md5(F.col("doc_id").cast("string"))
-    w = W.partitionBy("lang").orderBy(key, "doc_id")
+    base = d.select("doc_id", "lang", key.alias("sample_key"))
+    local_w = W.partitionBy("lang", "split_id").orderBy("sample_key", "doc_id")
+    survivors = (
+        base.withColumn("split_id", F.spark_partition_id())
+        .withColumn("local_rank", F.row_number().over(local_w))
+        .where(F.col("local_rank") <= 50)
+        .drop("split_id", "local_rank")
+    )
+    w = W.partitionBy("lang").orderBy("sample_key", "doc_id")
     return (
-        d.select("doc_id", "lang", key.alias("sample_key"))
-        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        survivors.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .where(F.col("sample_rank") <= 50)
     )
 

@@ -90,15 +90,20 @@ class TDigest:
         if target <= cum[0]:
             # interpolate between true min and first centroid
             frac = target / cum[0] if cum[0] > 0 else 0.0
-            return float(self.min_val + frac * (self.means[0] - self.min_val))
+            est = (1.0 - frac) * self.min_val + frac * self.means[0]
+            return float(min(max(est, self.min_val), self.max_val))
         if target >= cum[-1]:
             denom = W - cum[-1]
             frac = (target - cum[-1]) / denom if denom > 0 else 0.0
-            return float(self.means[-1] + frac * (self.max_val - self.means[-1]))
+            est = (1.0 - frac) * self.means[-1] + frac * self.max_val
+            return float(min(max(est, self.min_val), self.max_val))
         idx = np.searchsorted(cum, target) - 1
         span = cum[idx + 1] - cum[idx]
         frac = (target - cum[idx]) / span if span > 0 else 0.0
-        return float(self.means[idx] + frac * (self.means[idx + 1] - self.means[idx]))
+        # (1-f)*a + f*b, not a + f*(b-a): the latter cancels the small mean
+        # when |a| >> |b| and f~1, escaping [min,max] by ~1 ulp of a.
+        est = (1.0 - frac) * self.means[idx] + frac * self.means[idx + 1]
+        return float(min(max(est, self.min_val), self.max_val))
 
     # -- serialization --------------------------------------------------------
 
@@ -167,16 +172,17 @@ def _quantiles_from_centroids(
         target = q * W
         if target <= cum[0]:
             frac = target / cum[0] if cum[0] > 0 else 0.0
-            out.append(float(mn + frac * (means[0] - mn)))
+            est = (1.0 - frac) * mn + frac * means[0]
         elif target >= cum[-1]:
             denom = W - cum[-1]
             frac = (target - cum[-1]) / denom if denom > 0 else 0.0
-            out.append(float(means[-1] + frac * (mx - means[-1])))
+            est = (1.0 - frac) * means[-1] + frac * mx
         else:
             idx = np.searchsorted(cum, target) - 1
             span = cum[idx + 1] - cum[idx]
             frac = (target - cum[idx]) / span if span > 0 else 0.0
-            out.append(float(means[idx] + frac * (means[idx + 1] - means[idx])))
+            est = (1.0 - frac) * means[idx] + frac * means[idx + 1]
+        out.append(float(min(max(est, mn), mx)))
     return out
 
 

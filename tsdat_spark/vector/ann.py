@@ -218,12 +218,20 @@ def ann_lsh_pairs(
     vec_col: str = "v",
     n_planes: int = 8,
     seed: int = LSH_SEED,
+    dim: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing an LSH bucket, re-ranked by exact cosine.
 
+    Pass ``dim`` when known (it is part of the table's schema contract) to
+    avoid the fallback ``first()`` probe job. For tunable recall use
+    :func:`ann_lsh_pairs_multi` (OR-amplification across independent plane
+    tables); this single-table form is its ``n_tables=1`` special case with
+    the bucket id exposed.
+
     Output: (id_a, id_b, bucket, cosine) with id_a < id_b.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     b = df.select(
@@ -243,6 +251,63 @@ def ann_lsh_pairs(
         F.col("bucket"),
         F.round(cos, 6).alias("cosine"),
     )
+
+def ann_lsh_pairs_multi(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = LSH_SEED,
+    dim: int | None = None,
+) -> DataFrame:
+    """OR-amplified LSH candidate pairs: ``n_tables`` independent
+    hyperplane tables (seeds ``seed, seed+1, …``); a pair is a candidate if
+    it collides in ANY table. Collision probability per pair rises from
+    p = (1 − θ/π)^n_planes to 1 − (1 − p)^T — the standard recall/cost
+    knob missing from the single-table form: recall grows monotonically in
+    T while candidate volume stays Σ_t same-bucket pairs (linear in T),
+    never all-pairs.
+
+    Plan shape: ONE scan computes all T bucket ids as columns (each a
+    codegen'd fold), explodes to (table_id, bucket) — T rows per vector —
+    then a self-equi-join on (table_id, bucket) buckets the candidates and
+    a distinct on the pair key dedups cross-table collisions BEFORE the
+    exact cosine re-rank, so each surviving pair is scored once. Both
+    shuffles are keyed and O(candidates), preserving the O(n)
+    bucketed-join scale story.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b (no bucket column — a
+    pair may collide in several tables).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("table_id"),
+            lsh_bucket_col(F.col(vec_col), hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    b = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm"),
+        F.explode(tables).alias("tb"),
+    ).select(id_col, vec_col, "nrm", F.col("tb.table_id").alias("table_id"),
+             F.col("tb.bucket").alias("bucket"))
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(r, ["table_id", "bucket"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("va"), F.col(f"r.{vec_col}").alias("vb"),
+            F.col("l.nrm").alias("na"), F.col("r.nrm").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return cand.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+
 
 def ivf_assign_matmul(
     df: DataFrame,
