@@ -30,7 +30,7 @@ def test_components_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(50, 58)],
                                   "doc_a bigint, doc_b bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, method="propagation")
 
 
 def test_components_nodes_missing_endpoint(spark):
@@ -41,3 +41,53 @@ def test_components_nodes_missing_endpoint(spark):
     got = {r["node"]: r["cluster_id"]
            for r in connected_components(edges, nodes=nodes).collect()}
     assert got == {1: 1, 2: 1, 9: 1, 3: 3}
+
+
+def test_contraction_matches_propagation_on_mixed_graph(spark):
+    from tsdat_spark.graph import connected_components_contraction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (7, 2)],
+        "doc_a bigint, doc_b bigint",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 7, 10, 11, 12, 99)], "doc_id bigint"
+    )
+    prop = {r["node"]: r["cluster_id"]
+            for r in connected_components(edges, nodes=nodes, method="propagation").collect()}
+    cont = {r["node"]: r["cluster_id"]
+            for r in connected_components_contraction(edges, nodes=nodes).collect()}
+    assert cont == prop
+    assert cont[99] == 99
+
+
+def test_contraction_handles_adversarial_chain(spark):
+    """A 120-node chain (diameter 119): plain propagation cannot converge
+    in 25 rounds; large-star/small-star contraction must — and 'auto' must
+    reach the same answer by falling back instead of raising."""
+    from tsdat_spark.graph import connected_components_contraction
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1119)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=25, method="propagation")
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components_contraction(edges).collect()}
+    assert set(got) == set(range(1000, 1120))
+    assert set(got.values()) == {1000}
+    auto = {r["node"]: r["cluster_id"]
+            for r in connected_components(edges, max_iter=5, method="auto").collect()}
+    assert auto == got
+
+
+def test_contraction_reversed_id_chain(spark):
+    """Chain built high-to-low (worst case for min-hanging orientation)."""
+    from tsdat_spark.graph import connected_components_contraction
+
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(500, 560)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components_contraction(edges).collect()}
+    assert set(got.values()) == {500}

@@ -304,3 +304,115 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     assert by_key["aaa"][0] in (1, 3)
     assert by_key["bbb"] == [2]      # doc 4 (later batch) never survives
     assert by_key["ccc"] == [5]
+
+
+def test_sessionize_eventtime_accepts_cross_batch_disorder(spark, tmp_path):
+    """The event-time variant must produce correct sessions from batches
+    arriving OUT of time order (where the ordered-contract operator raises):
+    drop 1 carries the LATER session, drop 2 the earlier one, drop 3 a
+    watermark-advancing turn that closes both."""
+    import datetime as dt
+
+    from tsdat_spark.streaming import sessionize_stream_eventtime
+
+    base = dt.datetime(2024, 4, 1)
+    mk = lambda mins, i: ("e0", i, base + dt.timedelta(minutes=mins), 5)
+    ddl = "conv_id string, turn_idx int, ts timestamp, token_len int"
+    drop1 = [mk(60 + m, i) for i, m in enumerate(range(0, 8))]      # session 1
+    drop2 = [mk(m, 8 + i) for i, m in enumerate(range(0, 8))]       # session 0 (earlier!)
+    drop3 = [mk(600, 16)]                                            # watermark push
+
+    src = str(tmp_path / "et_src")
+    spark.createDataFrame(drop1, ddl).write.mode("overwrite").parquet(src)
+    q = (
+        sessionize_stream_eventtime(
+            # the admissible-disorder horizon IS the watermark: 2h covers the
+            # 60-minute cross-batch skew this test constructs
+            spark.readStream.schema(ddl).parquet(src), gap_s=1800, watermark="2 hours"
+        )
+        .writeStream.format("memory").queryName("et_sessions")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "et_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(drop2, ddl).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    spark.createDataFrame(drop3, ddl).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["session_idx"]: r for r in spark.sql("select * from et_sessions").collect()}
+    assert set(got) == {0, 1}, got
+    s0, s1 = got[0], got[1]
+    assert s0["session_start"] == base and s0["session_end"] == base + dt.timedelta(minutes=7)
+    assert s0["n_turns"] == 8 and s0["token_len_sum"] == 40
+    assert s1["session_start"] == base + dt.timedelta(minutes=60)
+    assert s1["session_end"] == base + dt.timedelta(minutes=67)
+    assert s1["n_turns"] == 8
+
+
+def test_sessionize_eventtime_merges_fragments_across_batches(spark, tmp_path):
+    """A late middle turn must MERGE two state fragments into one session:
+    drop 1 = turns at t=0 and t=40min (two fragments, gap 30min), drop 2 =
+    t=20min (bridges them), drop 3 = watermark push. One merged session."""
+    import datetime as dt
+
+    from tsdat_spark.streaming import sessionize_stream_eventtime
+
+    base = dt.datetime(2024, 4, 2)
+    ddl = "conv_id string, turn_idx int, ts timestamp, token_len int"
+    mk = lambda mins, i: ("f0", i, base + dt.timedelta(minutes=mins), 2)
+    src = str(tmp_path / "fm_src")
+    spark.createDataFrame([mk(0, 0), mk(40, 1)], ddl).write.mode("overwrite").parquet(src)
+    q = (
+        sessionize_stream_eventtime(
+            spark.readStream.schema(ddl).parquet(src), gap_s=1800, watermark="1 hour"
+        )
+        .writeStream.format("memory").queryName("fm_sessions")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "fm_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame([mk(20, 2)], ddl).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    spark.createDataFrame([mk(600, 3)], ddl).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from fm_sessions").collect()
+    assert len(rows) == 1, rows
+    s = rows[0]
+    assert s["session_idx"] == 0 and s["n_turns"] == 3 and s["token_len_sum"] == 6
+    assert s["session_start"] == base and s["session_end"] == base + dt.timedelta(minutes=40)
+
+
+def test_sessionize_eventtime_timeout_flushes_quiet_conversation(spark, tmp_path):
+    """A conversation that goes quiet is flushed by the event-time TIMEOUT
+    when OTHER keys advance the watermark — no further turn of its own."""
+    import datetime as dt
+
+    from tsdat_spark.streaming import sessionize_stream_eventtime
+
+    base = dt.datetime(2024, 4, 3)
+    ddl = "conv_id string, turn_idx int, ts timestamp, token_len int"
+    src = str(tmp_path / "to_src")
+    quiet = [("q0", i, base + dt.timedelta(minutes=i), 1) for i in range(3)]
+    spark.createDataFrame(quiet, ddl).write.mode("overwrite").parquet(src)
+    q = (
+        sessionize_stream_eventtime(
+            spark.readStream.schema(ddl).parquet(src), gap_s=1800, watermark="10 minutes"
+        )
+        .writeStream.format("memory").queryName("to_sessions")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "to_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # a DIFFERENT conversation far in the future advances the watermark
+    other = [("q1", 0, base + dt.timedelta(hours=5), 1)]
+    spark.createDataFrame(other, ddl).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = [r for r in spark.sql("select * from to_sessions").collect() if r["conv_id"] == "q0"]
+    assert len(rows) == 1, rows
+    assert rows[0]["n_turns"] == 3 and rows[0]["session_end"] == base + dt.timedelta(minutes=2)

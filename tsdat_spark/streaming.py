@@ -239,6 +239,135 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_eventtime(
+    stream_df: DataFrame,
+    gap_s: int = 1800,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    token_col: str = "token_len",
+    watermark: str = "1 hour",
+):
+    """Disorder-tolerant streaming sessionization: the opt-in variant that
+    LIFTS :func:`sessionize_stream`'s per-key ordered-batches arrival
+    contract. Sessions here are interval-union session windows (each turn
+    covers ``[ts, ts+gap)``; a session is a maximal union of overlapping
+    covers) — for point events this is exactly the ordered gap rule, but it
+    stays well-defined under arbitrary cross-batch disorder.
+
+    State per conversation is the set of OPEN session fragments as
+    (start, last, n_turns, token_sum) tuples — sufficient statistics that
+    are EXACT for interval-union semantics: a fragment's time cover is the
+    contiguous ``[start, last+gap)``, so a late turn merges iff it lands in
+    ``[start-gap, last+gap]`` and two fragments merge iff their covers
+    touch; no interior turn timestamps are ever needed. Each batch:
+    vectorized gap-split of the batch's turns (same numpy as the ordered
+    path), then a sweep-merge of batch fragments with state fragments.
+
+    Emission is watermark-gated instead of next-turn-gated: a fragment is
+    closed — and emitted exactly once, in event-time order with a stable
+    per-conversation ``session_idx`` — only when the watermark passes
+    ``last + gap`` (no admissible turn can extend it). Quiet conversations
+    are flushed by an event-time TIMEOUT armed at the earliest possible
+    close; turns older than the watermark are dropped by Spark before the
+    operator, which is what bounds state. The trade vs the ordered path:
+    emission latency ≥ the watermark delay, and per-key state is a fragment
+    list instead of one tuple.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(gap_s) * 1_000_000
+
+    def _batch_fragments(pdf):
+        """Vectorized gap-split of one batch's turns → fragment arrays."""
+        pdf = pdf.sort_values(ts_col, ignore_index=True)
+        us = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        tok = pdf[token_col].to_numpy(dtype="float64", na_value=0.0)
+        new_start = np.empty(len(us), dtype=bool)
+        new_start[0] = True
+        new_start[1:] = (us[1:] - us[:-1]) > gap_us
+        seg_starts = np.flatnonzero(new_start)
+        seg_ends = np.concatenate([seg_starts[1:], [len(us)]])
+        return (
+            us[seg_starts],
+            us[seg_ends - 1],
+            (seg_ends - seg_starts).astype("int64"),
+            np.add.reduceat(tok, seg_starts).astype("int64"),
+        )
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            starts, lasts, ns, toks, emitted = state.get
+            frags = list(zip(starts, lasts, ns, toks))
+        else:
+            frags, emitted = [], 0
+
+        if not state.hasTimedOut:
+            chunks = [p for p in pdfs if not p.empty]
+            if chunks:
+                bs, bl, bn, bt = _batch_fragments(pd.concat(chunks, ignore_index=True))
+                frags.extend(zip(bs.tolist(), bl.tolist(), bn.tolist(), bt.tolist()))
+        else:
+            # timeout invocation: no data, just re-evaluate closures below
+            for p in pdfs:  # pragma: no cover - iterator must be drained
+                pass
+
+        if not frags:
+            state.remove()
+            return
+
+        # sweep-merge: fragments sorted by start merge while covers touch
+        frags.sort()
+        merged = [list(frags[0])]
+        for s, l, n, t in frags[1:]:
+            cur = merged[-1]
+            if s <= cur[1] + gap_us:
+                cur[1] = max(cur[1], l)
+                cur[2] += n
+                cur[3] += t
+            else:
+                merged.append([s, l, n, t])
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [f for f in merged if f[1] + gap_us < wm_us]
+        still_open = [f for f in merged if f[1] + gap_us >= wm_us]
+
+        if still_open:
+            state.update((
+                [f[0] for f in still_open], [f[1] for f in still_open],
+                [f[2] for f in still_open], [f[3] for f in still_open],
+                emitted + len(closed),
+            ))
+            # flush when the watermark passes the earliest possible close
+            state.setTimeoutTimestamp(min(f[1] for f in still_open) // 1000 + gap_s * 1000 + 1)
+        else:
+            state.remove()
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "conv_id": key[0],
+                    "session_idx": np.arange(emitted, emitted + len(closed), dtype="int64"),
+                    "n_turns": np.array([f[2] for f in closed], dtype="int64"),
+                    "session_start": pd.to_datetime([f[0] for f in closed], unit="us"),
+                    "session_end": pd.to_datetime([f[1] for f in closed], unit="us"),
+                    "token_len_sum": np.array([f[3] for f in closed], dtype="int64"),
+                }
+            )
+
+    state_schema = (
+        "starts array<long>, lasts array<long>, ns array<long>, toks array<long>, emitted long"
+    )
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(conv_col)
+        .applyInPandasWithState(
+            fn, _SESS_OUT, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     key_cols=("text_md5",),
