@@ -76,7 +76,7 @@ def main() -> None:
         "qc_monotonic_value", "qc_std_value", "gap_fill_1h", "bin_average_30m",
         "nearest_1h", "interpolate_1h", "dedup_exact", "token_count",
         "text_quality", "knn_cosine", "top_tokens", "distinct_tier_hll",
-        "ivf_assign",
+        "ivf_assign", "ivf_search", "sample_stratified",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
@@ -140,8 +140,12 @@ def main() -> None:
     # round 3 (top_tokens, distinct_tier_hll, ivf_assign); this subtotal is
     # the round-2 composition so BENCH_r{N} deltas compare like with like.
     _r3_new = ("top_tokens", "distinct_tier_hll", "ivf_assign")
+    _r4_new = ("ivf_search", "sample_stratified")
     extra["suite_r02_comparable_sec"] = round(
-        sum(v for k, v in timings.items() if k not in _r3_new), 3
+        sum(v for k, v in timings.items() if k not in _r3_new + _r4_new), 3
+    )
+    extra["suite_r03_comparable_sec"] = round(
+        sum(v for k, v in timings.items() if k not in _r4_new), 3
     )
     print(json.dumps({
         "metric": "tsdat_spark_suite_sec",

@@ -281,3 +281,33 @@ def test_a2e_attr_newline_escaped(spark, tmp_path):
     _, gattrs, _, _, columns = read_a2e_header(part)
     assert gattrs["comment"] == "line1\\nline2"
     assert columns == ["time", "v"]
+
+
+def test_fs_seam_dispatches_by_scheme(tmp_path):
+    """The io.fs registry: local paths use LocalFileSystem; a registered
+    custom scheme serves the same side-channel reads (object-store hook);
+    an unregistered scheme raises the documented boundary error."""
+    import pytest
+
+    from tsdat_spark.io import fs as fsmod
+
+    p = tmp_path / "h.txt"
+    p.write_text("line1\nline2\nline3\n")
+    local = fsmod.get_filesystem(str(p))
+    assert local.read_head_lines(str(p), 2) == ["line1\n", "line2\n"]
+    assert local.read_bytes(str(p), 5) == b"line1"
+
+    class MemFS(fsmod.FileSystem):
+        def read_bytes(self, path, length=None):
+            return b"mem-bytes"
+        def read_head_lines(self, path, n):
+            return ["header_rows=1\n"][:n]
+        def exists(self, path):
+            return True
+        def listdir(self, path):
+            return ["a"]
+
+    fsmod.register_filesystem("memtest", MemFS())
+    assert fsmod.get_filesystem("memtest://x/y").read_bytes("memtest://x/y") == b"mem-bytes"
+    with pytest.raises(NotImplementedError, match="register_filesystem"):
+        fsmod.get_filesystem("s3://bucket/key")

@@ -306,12 +306,16 @@ def parse_a2e_metadata(text: str):
 
 
 def read_a2e_header(path: str):
-    """Driver-side header read of ONE file (the metadata block is tiny).
+    """Driver-side header read of ONE file (the metadata block is tiny;
+    byte access goes through the ``io.fs`` seam, so an object-store path
+    works once a filesystem is registered for its scheme).
     → (header_line_idx, global_attrs, var_attrs, dtypes, columns)."""
-    with open(path) as f:
-        first = f.readline()
-        header_idx = int(first.split("=")[1])
-        lines = [f.readline() for _ in range(header_idx)]
+    from .fs import get_filesystem
+
+    fs = get_filesystem(path)
+    first = fs.read_head_lines(path, 1)[0]
+    header_idx = int(first.split("=")[1])
+    lines = fs.read_head_lines(path, header_idx + 1)[1:]
     meta_text = "".join(lines[: header_idx - 1])
     g, v, d = parse_a2e_metadata(meta_text)
     columns = [c.strip() for c in lines[header_idx - 1].strip().split(",")]
@@ -321,8 +325,9 @@ def read_a2e_header(path: str):
 @dataclass(frozen=True)
 class A2eCSVReader:
     """Distributed A2e reader: the schema comes from ONE file's metadata
-    block (driver-side peek — on an object store this would go through the
-    Hadoop FS API); the data parse is a binaryFile scan + per-file pandas
+    block (driver-side peek through the ``io.fs`` scheme registry — local
+    by default, object stores via ``register_filesystem``); the data parse
+    is a binaryFile scan + per-file pandas
     parse, so a directory of day-files fans out across executors. Global /
     variable attributes are exposed via :func:`read_a2e_header`."""
 

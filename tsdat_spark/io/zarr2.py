@@ -35,6 +35,8 @@ import zlib
 from dataclasses import dataclass
 
 import numpy as np
+
+from .fs import get_filesystem
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,9 +69,10 @@ def _compress(raw: bytes, compressor: dict | None) -> bytes:
 
 
 def read_zarr_meta(array_dir: str) -> tuple[dict, dict]:
-    """(.zarray metadata, .zattrs attrs) for one array directory."""
-    with open(os.path.join(array_dir, ".zarray")) as f:
-        meta = json.load(f)
+    """(.zarray metadata, .zattrs attrs) for one array directory. All byte
+    access goes through the ``io.fs`` seam (object-store hook)."""
+    fs = get_filesystem(array_dir)
+    meta = json.loads(fs.read_text(os.path.join(array_dir, ".zarray")))
     if meta.get("zarr_format") != 2:
         raise ValueError(f"not a zarr v2 array: {array_dir}")
     if meta.get("order", "C") != "C":
@@ -78,9 +81,8 @@ def read_zarr_meta(array_dir: str) -> tuple[dict, dict]:
         raise ValueError("zarr filters unsupported")
     attrs_path = os.path.join(array_dir, ".zattrs")
     attrs = {}
-    if os.path.exists(attrs_path):
-        with open(attrs_path) as f:
-            attrs = json.load(f)
+    if fs.exists(attrs_path):
+        attrs = json.loads(fs.read_text(attrs_path))
     return meta, attrs
 
 
@@ -90,14 +92,14 @@ def read_zarr_chunk(array_dir: str, meta: dict, chunk_idx: int) -> np.ndarray:
     (cw,) = meta["chunks"]
     count = min(cw, n - chunk_idx * cw)
     dt = np.dtype(meta["dtype"])
+    fs = get_filesystem(array_dir)
     path = os.path.join(array_dir, str(chunk_idx))
-    if not os.path.exists(path):
+    if not fs.exists(path):
         fv = meta.get("fill_value")
         if fv is None:
             fv = np.nan if dt.kind == "f" else "" if dt.kind == "U" else 0
         return np.full(count, fv, dtype=dt)
-    with open(path, "rb") as f:
-        raw = _decompress(f.read(), meta.get("compressor"))
+    raw = _decompress(fs.read_bytes(path), meta.get("compressor"))
     # a stored chunk is always full chunk width; trim the tail chunk
     return np.frombuffer(raw, dtype=dt)[:count]
 
@@ -133,9 +135,10 @@ class ZarrReader:
 
         import pandas as pd
 
+        fs = get_filesystem(path)
         arrays = sorted(
-            d for d in os.listdir(path)
-            if os.path.exists(os.path.join(path, d, ".zarray"))
+            d for d in fs.listdir(path)
+            if fs.exists(os.path.join(path, d, ".zarray"))
         )
         if not arrays:
             raise ValueError(f"no zarr arrays under {path}")
