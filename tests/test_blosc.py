@@ -1,0 +1,122 @@
+"""From-spec LZ4-block + blosc1 container codecs (compress/lz4block.py,
+compress/bloscc.py) — the codecs that let the zarr reader ingest
+blosc-compressed stores (the zarr-python default) without c-blosc.
+
+Golden anchor: the reference's own test fixture
+/root/reference/test/io/data/input.zarr (compressor blosc/lz4, shuffle=1)
+— written by the real c-blosc via xarray.to_zarr, so decoding it correctly
+is interop evidence against the canonical implementation, covering the
+memcpyed path (index, First Data Var) and the compressed lz4+shuffle path
+(timestamp, typesize 76)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tsdat_spark.compress.bloscc import blosc_compress, blosc_decompress
+from tsdat_spark.compress.lz4block import lz4_compress, lz4_decompress
+
+REF_ZARR = "/root/reference/test/io/data/input.zarr"
+
+
+@given(st.binary(min_size=0, max_size=5000))
+@settings(max_examples=200, deadline=None)
+def test_lz4_roundtrip_random(data):
+    assert lz4_decompress(lz4_compress(data), len(data)) == data
+
+
+@given(st.binary(min_size=1, max_size=64), st.integers(min_value=1, max_value=200))
+@settings(max_examples=100, deadline=None)
+def test_lz4_roundtrip_repetitive(pattern, reps):
+    """Repetitive data exercises real matches incl. overlapping copies."""
+    data = pattern * reps
+    comp = lz4_compress(data)
+    assert lz4_decompress(comp, len(data)) == data
+    if len(data) > 1000:
+        assert len(comp) < len(data)  # matches actually fire
+
+
+def test_lz4_known_vector():
+    """Hand-decoded vector: token 0x54 = 5 literals + match_len 8 (4+4),
+    offset 5 — 'abcde' then copy 8 bytes from 5 back = 'abcdeabc'; final
+    literal-only sequence '!'."""
+    src = bytes([0x54]) + b"abcde" + bytes([0x05, 0x00]) + bytes([0x10]) + b"!"
+    assert lz4_decompress(src, 14) == b"abcdeabcdeabc!"
+
+
+@pytest.mark.parametrize("typesize,n", [(8, 64), (8, 2048), (4, 1000), (1, 300), (76, 12)])
+def test_blosc_roundtrip_auto(typesize, n):
+    """auto mode picks memcpy / single-stream / split per the c-blosc
+    rules; every path must round-trip. n=2048×8 crosses the split
+    threshold (blocksize/typesize ≥ 128 with typesize ≤ 16)."""
+    rng = np.random.RandomState(7)
+    # low-entropy payload so lz4 can actually win
+    data = (rng.randint(0, 4, n * typesize).astype(np.uint8) // 3 * 17).tobytes()
+    out = blosc_decompress(blosc_compress(data, typesize))
+    assert out == data
+
+
+def test_blosc_raw_mode_and_incompressible():
+    rng = np.random.RandomState(11)
+    data = rng.bytes(4096)
+    raw = blosc_compress(data, 8, store_mode="raw")
+    assert blosc_decompress(raw) == data
+    assert len(raw) == len(data) + 16
+    # incompressible auto falls back to a valid container too
+    assert blosc_decompress(blosc_compress(data, 8)) == data
+
+
+def test_blosc_bitshuffle_raises():
+    import struct
+
+    hdr = struct.pack("<BBBBIII", 2, 1, 0x4 | (1 << 5), 8, 8, 8, 28)
+    with pytest.raises(NotImplementedError, match="bit-shuffle"):
+        blosc_decompress(hdr + b"\x00" * 12)
+
+
+def test_reference_fixture_chunks_decode_exactly():
+    """Byte-level golden vs real c-blosc output (see module docstring)."""
+    from tsdat_spark.io.zarr2 import read_zarr_array
+
+    idx = read_zarr_array(f"{REF_ZARR}/index")
+    assert idx.tolist() == [0, 1, 2]
+    vals = read_zarr_array(f"{REF_ZARR}/First Data Var")
+    assert vals.tolist() == [71.4, 71.2, 71.1]
+    ts = read_zarr_array(f"{REF_ZARR}/timestamp")
+    assert ts.tolist() == [
+        "2022-03-24 21:43:00",
+        "2022-03-24 21:44:00",
+        "2022-03-24 21:45:00",
+    ]
+
+
+def test_reference_fixture_spark_scan(spark):
+    """The distributed ZarrReader ingests the real blosc store."""
+    from tsdat_spark.io.zarr2 import ZarrReader
+
+    df = ZarrReader(dim="index").read(spark, REF_ZARR)
+    rows = df.orderBy("index").collect()
+    assert len(rows) == 3
+    assert [round(r["First Data Var"], 1) for r in rows] == [71.4, 71.2, 71.1]
+
+
+def test_zarr_writer_blosc_roundtrip(spark, tmp_path):
+    """Engine zarr sink with the blosc compressor: written chunks decode
+    through the same from-spec codec and survive a Spark scan."""
+    from pyspark.sql import functions as F
+
+    from tsdat_spark.io.zarr2 import ZarrReader, ZarrDatasetWriter
+
+    df = spark.range(3000).select(
+        F.col("id").alias("i"), (F.col("id") % 17 * 0.25).alias("v")
+    )
+    path = str(tmp_path / "b.zarr")
+    ZarrDatasetWriter(
+        chunk_rows=1024, order_by=["i"],
+        compressor={"id": "blosc", "cname": "lz4", "shuffle": 1, "clevel": 5},
+    ).write(df, path)
+    back = ZarrReader(dim="i").read(spark, path).orderBy("i").collect()
+    assert len(back) == 3000
+    assert back[16]["v"] == 16 % 17 * 0.25
+    assert back[2999]["v"] == 2999 % 17 * 0.25

@@ -105,12 +105,13 @@ def test_zarr_spec_golden_zlib():
     assert meta["chunks"] == [2]
 
 
-def test_zarr_blosc_boundary():
-    ref = "/root/reference/test/io/data/input.zarr/index"
-    if not os.path.exists(os.path.join(ref, ".zarray")):
-        pytest.skip("reference zarr fixture absent")
-    with pytest.raises(ValueError, match="blosc"):
-        read_zarr_array(ref)
+def test_zarr_codec_boundary_zstd():
+    """blosc now decodes via compress/bloscc.py (see test_blosc.py); the
+    remaining codec boundary (zstd) must still raise, named."""
+    from tsdat_spark.io.zarr2 import _decompress
+
+    with pytest.raises(ValueError, match="zstd"):
+        _decompress(b"x", {"id": "zstd"})
 
 
 def test_zarr_spark_roundtrip(spark, tmp_path):

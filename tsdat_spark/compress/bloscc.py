@@ -1,0 +1,163 @@
+"""Pure-Python blosc1 container codec (read: full lz4/blosclz-subset
+decode; write: spec-compliant container).
+
+Why: zarr v2 stores written by the xarray/zarr default pipeline compress
+chunks with blosc (cname=lz4, byte-shuffle) — the reference's own
+``test/io/data/input.zarr`` does (``compressor: {id: blosc, cname: lz4,
+shuffle: 1}``) — and this image has no c-blosc. The container format is
+public (c-blosc README_CHUNK_FORMAT.rst); this module implements it from
+that spec so the zarr reader can ingest real-world stores.
+
+Chunk layout (16-byte header, all little-endian):
+  byte 0 version, 1 codec-format version, 2 flags, 3 typesize,
+  4-7 nbytes (uncompressed), 8-11 blocksize, 12-15 cbytes (total stored).
+Flags: 0x1 byte-shuffle, 0x2 memcpyed (raw payload follows the header),
+0x4 bit-shuffle, bits 5-7 codec id (0 blosclz, 1 lz4/lz4hc).
+Non-memcpyed payload: uint32 absolute offsets of each block (blocks cover
+``blocksize`` input bytes each), then per block 1 or ``typesize`` split
+streams (split when codec ∈ {blosclz, lz4} ∧ typesize ≤ 16 ∧
+blocksize/typesize ≥ 128 — c-blosc's ``split_block`` rule), each stream an
+int32 stored-size prefix + payload (stored raw iff stored-size equals the
+stream's uncompressed size). Byte-shuffle is applied per block BEFORE
+split/compress, so decode reverses it per block after joining splits.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .lz4block import lz4_compress, lz4_decompress
+
+_HEADER = struct.Struct("<BBBBIII")
+
+FLAG_SHUFFLE = 0x1
+FLAG_MEMCPYED = 0x2
+FLAG_BITSHUFFLE = 0x4
+
+_CODEC_BLOSCLZ = 0
+_CODEC_LZ4 = 1
+
+MAX_SPLIT_TYPESIZE = 16
+MIN_BUFFERSIZE = 128
+
+
+def _unshuffle(data: bytes, typesize: int) -> bytes:
+    """Inverse byte-shuffle: data holds all byte-0s, then all byte-1s, …"""
+    n_items = len(data) // typesize
+    tail = data[n_items * typesize :]  # c-blosc leaves a non-multiple tail raw
+    arr = np.frombuffer(data[: n_items * typesize], dtype=np.uint8)
+    out = arr.reshape(typesize, n_items).T.tobytes()
+    return out + tail
+
+
+def _shuffle(data: bytes, typesize: int) -> bytes:
+    n_items = len(data) // typesize
+    tail = data[n_items * typesize :]
+    arr = np.frombuffer(data[: n_items * typesize], dtype=np.uint8)
+    return arr.reshape(n_items, typesize).T.tobytes() + tail
+
+
+def _is_split(codec: int, typesize: int, blocksize: int) -> bool:
+    return (
+        codec in (_CODEC_BLOSCLZ, _CODEC_LZ4)
+        and 0 < typesize <= MAX_SPLIT_TYPESIZE
+        and blocksize // typesize >= MIN_BUFFERSIZE
+    )
+
+
+def blosc_decompress(chunk: bytes) -> bytes:
+    """Decode one blosc1 chunk to its uncompressed bytes."""
+    version, _versionlz, flags, typesize, nbytes, blocksize, cbytes = _HEADER.unpack_from(
+        chunk, 0
+    )
+    if version > 2:
+        raise ValueError(f"unsupported blosc chunk version {version}")
+    if flags & FLAG_BITSHUFFLE:
+        raise NotImplementedError(
+            "blosc bit-shuffle filter not implemented (byte-shuffle and "
+            "unshuffled chunks are supported)"
+        )
+    if flags & FLAG_MEMCPYED:
+        # raw payload, no shuffle (c-blosc memcpys the original buffer)
+        return bytes(chunk[16 : 16 + nbytes])
+    codec = flags >> 5
+    if codec not in (_CODEC_BLOSCLZ, _CODEC_LZ4):
+        raise NotImplementedError(
+            f"blosc codec id {codec} not implemented (lz4/lz4hc supported; "
+            "blosclz streams decode only when stored raw)"
+        )
+    n_blocks = -(-nbytes // blocksize) if blocksize else 0
+    offsets = struct.unpack_from(f"<{n_blocks}I", chunk, 16)
+    out = bytearray()
+    for j, off in enumerate(offsets):
+        block_nbytes = min(blocksize, nbytes - j * blocksize)
+        nsplits = typesize if _is_split(codec, typesize, block_nbytes) else 1
+        neblock = block_nbytes // nsplits
+        block = bytearray()
+        pos = off
+        for _ in range(nsplits):
+            (csize,) = struct.unpack_from("<i", chunk, pos)
+            pos += 4
+            payload = chunk[pos : pos + abs(csize)]
+            pos += abs(csize)
+            if csize == neblock:
+                block += payload  # stored raw
+            elif codec == _CODEC_LZ4:
+                block += lz4_decompress(payload, neblock)
+            else:
+                raise NotImplementedError(
+                    "compressed blosclz stream decoding not implemented"
+                )
+        if flags & FLAG_SHUFFLE and typesize > 1:
+            block = _unshuffle(bytes(block), typesize)
+        out += block
+    if len(out) != nbytes:
+        raise ValueError(f"blosc chunk decoded {len(out)} bytes, expected {nbytes}")
+    return bytes(out)
+
+
+def blosc_compress(
+    data: bytes,
+    typesize: int,
+    cname: str = "lz4",
+    shuffle: bool = True,
+    store_mode: str = "auto",
+) -> bytes:
+    """Encode bytes as a single-block blosc1 chunk readable by c-blosc.
+
+    ``store_mode='raw'`` forces the memcpyed container (always valid, no
+    compression work — the production write path for blosc-compatible
+    stores without a native codec); ``'auto'`` tries shuffle+lz4 and falls
+    back to memcpyed when compression does not help, like c-blosc does.
+    """
+    if cname != "lz4":
+        raise NotImplementedError(f"blosc write codec {cname!r} not implemented")
+    nbytes = len(data)
+    if store_mode == "raw" or nbytes < MIN_BUFFERSIZE:
+        header = _HEADER.pack(2, 1, FLAG_MEMCPYED, typesize, nbytes, nbytes, nbytes + 16)
+        return header + data
+    flags = _CODEC_LZ4 << 5
+    payload = data
+    if shuffle and typesize > 1:
+        flags |= FLAG_SHUFFLE
+        payload = _shuffle(data, typesize)
+    # single block, split per the c-blosc rule so real blosc accepts it
+    nsplits = typesize if _is_split(_CODEC_LZ4, typesize, nbytes) else 1
+    neblock = nbytes // nsplits
+    streams = bytearray()
+    for k in range(nsplits):
+        part = payload[k * neblock : (k + 1) * neblock] if nsplits > 1 else payload
+        comp = lz4_compress(part)
+        if len(comp) >= len(part):
+            streams += struct.pack("<i", len(part)) + part  # store raw
+        else:
+            streams += struct.pack("<i", len(comp)) + comp
+    body_off = 16 + 4  # header + one block offset
+    total = body_off + len(streams)
+    if total >= nbytes + 16:
+        header = _HEADER.pack(2, 1, FLAG_MEMCPYED, typesize, nbytes, nbytes, nbytes + 16)
+        return header + data
+    header = _HEADER.pack(2, 1, flags, typesize, nbytes, nbytes, total)
+    return header + struct.pack("<I", body_off) + bytes(streams)
