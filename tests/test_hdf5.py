@@ -1,0 +1,151 @@
+"""From-spec HDF5 subset reader/writer (io/hdf5.py, io/hdf5_write.py) —
+NetCDF-4 ingest and the NetCDF-4-style sink.
+
+Golden anchor: /root/reference/test/io/data/input.nc — a REAL
+netcdf/HDF5-library-written file (superblock v0 + v2 object headers +
+compact links + global-heap VLEN strings + contiguous layout), so decoding
+it is interop evidence against the canonical implementation. The writer
+round-trips cover the complementary v1 profile (symbol-table groups, v1
+object headers, chunked B-tree storage with shuffle+deflate) the fixture
+does not contain."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from tsdat_spark.io.hdf5 import Hdf5Boundary, read_hdf5
+from tsdat_spark.io.hdf5_write import write_hdf5
+
+REF_NC = "/root/reference/test/io/data/input.nc"
+
+
+def _ref_bytes():
+    with open(REF_NC, "rb") as f:
+        return f.read()
+
+
+def test_reference_fixture_decodes_exactly():
+    dims, gattrs, vs = read_hdf5(_ref_bytes())
+    assert dims == {"index": 3}
+    assert set(vs) == {"index", "First Data Var", "timestamp"}
+    assert vs["index"]["array"].tolist() == [0, 1, 2]
+    assert vs["First Data Var"]["dims"] == ["index"]
+    assert vs["First Data Var"]["array"].tolist() == [71.4, 71.2, 71.1]
+    assert vs["timestamp"]["array"].tolist() == [
+        "2022-03-24 21:43:00", "2022-03-24 21:44:00", "2022-03-24 21:45:00",
+    ]
+
+
+def test_reference_fixture_via_netcdf_dispatch():
+    """read_netcdf3 transparently dispatches HDF5 magic to the subset
+    parser — same tuple shape as the classic path."""
+    from tsdat_spark.io.netcdf3 import read_netcdf3
+
+    dims, gattrs, vs = read_netcdf3(_ref_bytes())
+    assert dims == {"index": 3}
+    assert vs["First Data Var"]["array"].tolist() == [71.4, 71.2, 71.1]
+
+
+def test_reference_fixture_spark_scan(spark):
+    from tsdat_spark.io.netcdf3 import NetCDF3Reader
+
+    df = NetCDF3Reader(dim="index").read(spark, REF_NC)
+    rows = df.orderBy("index").collect()
+    assert len(rows) == 3
+    assert [round(r["First Data Var"], 1) for r in rows] == [71.4, 71.2, 71.1]
+    assert rows[0]["timestamp"] == "2022-03-24 21:43:00"
+
+
+def _cols(n=1000):
+    return {
+        "time": np.arange(n, dtype="int64") * 10,
+        "temp": np.linspace(0.0, 99.9, n),
+        "flag": (np.arange(n, dtype="int32") % 5),
+        "site": np.array([f"st{i % 7}" for i in range(n)]),
+    }
+
+
+def test_roundtrip_contiguous_v1_profile():
+    cols = _cols()
+    blob = write_hdf5(cols, "time", global_attrs={"datastream": "a.b.c1", "n": 3},
+                      var_attrs={"temp": {"units": "degC"}})
+    dims, gattrs, vs = read_hdf5(blob)
+    assert dims == {"time": 1000}
+    assert gattrs == {"datastream": "a.b.c1", "n": 3}
+    assert vs["temp"]["dims"] == ["time"]
+    assert vs["temp"]["attrs"]["units"] == "degC"
+    assert np.array_equal(vs["temp"]["array"], cols["temp"])
+    assert np.array_equal(vs["flag"]["array"].astype("int32"), cols["flag"])
+    assert list(vs["site"]["array"]) == list(cols["site"])
+
+
+def test_roundtrip_chunked_shuffle_deflate():
+    """Chunked B-tree v1 layout + shuffle + deflate + edge-chunk trim."""
+    cols = _cols(1000)
+    blob = write_hdf5(cols, "time", chunk_rows=128)
+    dims, _, vs = read_hdf5(blob)
+    assert np.array_equal(vs["temp"]["array"], cols["temp"])
+    assert np.array_equal(vs["flag"]["array"].astype("int32"), cols["flag"])
+    # compression actually engaged (low-entropy int chunks shrink)
+    assert len(blob) < len(write_hdf5(cols, "time"))
+
+
+def test_roundtrip_many_vars_multiple_snods():
+    """>8 links forces multiple SNOD leaf nodes under the group B-tree."""
+    n = 64
+    cols = {"time": np.arange(n, dtype="int64")}
+    for i in range(12):
+        cols[f"v{i:02d}"] = np.arange(n, dtype="float64") * (i + 1)
+    blob = write_hdf5(cols, "time")
+    dims, _, vs = read_hdf5(blob)
+    assert len(vs) == 13
+    for i in range(12):
+        assert np.array_equal(vs[f"v{i:02d}"]["array"], cols[f"v{i:02d}"])
+        assert vs[f"v{i:02d}"]["dims"] == ["time"]
+
+
+def test_roundtrip_cf_time():
+    n = 100
+    base = np.datetime64("2024-05-01T00:00:00", "us")
+    cols = {"time": base + np.arange(n).astype("timedelta64[s]"),
+            "v": np.ones(n)}
+    blob = write_hdf5(cols, "time")
+    _, _, vs = read_hdf5(blob)
+    assert " since " in vs["time"]["attrs"]["units"]
+    from tsdat_spark.io.cf import decode_cf_time
+
+    back = decode_cf_time(vs["time"]["array"], vs["time"]["attrs"]["units"])
+    assert np.datetime64(back[0], "us") == base
+
+
+def test_writer_spark_partitioned_parts_scan_back(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tsdat_spark.io.hdf5_write import NetCDF4DatasetWriter
+    from tsdat_spark.io.netcdf3 import NetCDF3Reader
+
+    df = spark.range(5000).select(
+        (F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(secs=F.col("id"))).alias("time"),
+        (F.col("id") * 0.25).alias("v"),
+        F.col("id").alias("i"),
+    )
+    out = str(tmp_path / "nc4")
+    NetCDF4DatasetWriter(attrs={"datastream": "t.v.b1"},
+                         var_attrs={"v": {"units": "1"}},
+                         chunk_rows=512, partitions=3).write(df, out)
+    back = NetCDF3Reader(dim="time").read(spark, out).orderBy("i").collect()
+    assert len(back) == 5000
+    assert back[0]["time"] == dt.datetime(2024, 1, 1)
+    assert back[-1]["v"] == 4999 * 0.25
+
+
+def test_boundaries_raise_named():
+    with pytest.raises(ValueError, match="not an HDF5 file"):
+        read_hdf5(b"\x00" * 64)
+    bad_sb = b"\x89HDF\r\n\x1a\x0a" + bytes([7]) + b"\x00" * 80
+    with pytest.raises(Hdf5Boundary, match="superblock version"):
+        read_hdf5(bad_sb)
+    with pytest.raises(ValueError, match="chunks exceeds"):
+        write_hdf5({"time": np.arange(100000, dtype="int64"),
+                    "v": np.zeros(100000)}, "time", chunk_rows=100)

@@ -63,7 +63,10 @@ def test_netcdf3_codec_roundtrip_and_hdf5_guard():
     assert vs["label"]["array"].tolist() == cols["label"].tolist()
     assert np.array_equal(vs["time"]["array"].astype("int64"),
                           cols["time"].astype("int64"))
-    with pytest.raises(ValueError, match="HDF5-backed"):
+    # HDF5 magic now DISPATCHES to the io/hdf5.py subset parser (see
+    # tests/test_hdf5.py for the real-file goldens); truncated garbage
+    # after the magic must still fail loudly, not return nonsense
+    with pytest.raises(Exception):
         read_netcdf3(b"\x89HDF\r\n\x1a\n" + b"\x00" * 16)
 
 

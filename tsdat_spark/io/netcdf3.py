@@ -19,9 +19,11 @@ This module implements it from the spec:
   variable attributes included; timestamps encoded as CF-style
   ``microseconds since 1970-01-01`` int64.
 
-HDF5-backed NetCDF-4 files (magic ``\\x89HDF``) are OUT of scope — they
-need h5py; the reader raises a clear error routing users to the documented
-conversion boundary (``nccopy -k classic``).
+HDF5-backed NetCDF-4 files (magic ``\\x89HDF``) dispatch to the from-spec
+pure-Python HDF5 subset parser in ``io/hdf5.py`` (same result tuple), so
+:class:`NetCDF3Reader` transparently reads classic AND NetCDF-4 inputs;
+HDF5 structures outside that subset raise ``Hdf5Boundary`` naming the
+feature.
 """
 
 from __future__ import annotations
@@ -107,10 +109,9 @@ def read_netcdf3(data: bytes):
     ``variables`` maps name -> dict(dims, attrs, array). NC_CHAR variables
     with a trailing string-length dim decode to arrays of python strings."""
     if data[:4] == b"\x89HDF":
-        raise ValueError(
-            "NetCDF-4 (HDF5-backed) file: needs h5py/netCDF4, not in this "
-            "image — convert with `nccopy -k classic` or read upstream"
-        )
+        from .hdf5 import read_hdf5
+
+        return read_hdf5(data)  # NetCDF-4: from-spec HDF5 subset parser
     if data[:3] != b"CDF" or data[3] not in (1, 2):
         raise ValueError(f"not a classic NetCDF (CDF-1/2) blob: magic={data[:4]!r}")
     version = data[3]
@@ -336,19 +337,20 @@ class NetCDF3Reader:
         for name, v in variables.items():
             if not v["dims"] or v["dims"][0] != dim or len(v["dims"]) > 2:
                 continue
-            if len(v["dims"]) == 2 and v["array"].dtype.kind != "U":
+            if len(v["dims"]) == 2 and v["array"].dtype.kind not in ("U", "O"):
                 continue  # 2-D numeric: not a column (engine is 1-D relational)
             a = v["array"]
             units = str(v["attrs"].get("units", ""))
             if " since " in units:
                 cols.append((name, "timestamp"))
-            elif a.dtype.kind == "U":
+            elif a.dtype.kind in ("U", "O"):  # O: HDF5 VLEN strings
                 cols.append((name, "string"))
             elif a.dtype.kind == "i":
                 cols.append((name, "long"))
             else:
                 cols.append((name, "double"))
-        schema = ", ".join(f"{n} {t}" for n, t in cols)
+        # backtick-quote: NetCDF variable names may contain spaces
+        schema = ", ".join(f"`{n}` {t}" for n, t in cols)
         want = dict(cols)
 
         def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
