@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": Q.q_knn_cosine,
         "embedding_top1": Q.q_embedding_top1,
         "ann_lsh": Q.q_ann_lsh,
+        "ann_lsh_multi": Q.q_ann_lsh_multi,
         "tier_1m_tdigest": _tier_1m_tdigest,
         "neardup_cosine": Q.q_neardup_cosine,
         "ivf_assign": Q.q_ivf_assign,

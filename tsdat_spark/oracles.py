@@ -375,6 +375,40 @@ FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 
 ORACLES["ann_lsh"] = _ann_lsh_oracle()
 
+
+def _ann_lsh_multi_oracle(n_tables: int = 3) -> str:
+    """OR-amplified LSH: candidate iff same bucket in ANY of n_tables
+    independent plane tables (seeds LSH_SEED+t) — replays
+    vector.ann.ann_lsh_pairs_multi exactly; the oracle's OR-join is
+    quadratic but sf0.01-sized."""
+    from .vector.ann import LSH_SEED, hyperplanes
+
+    buckets = []
+    for t in range(n_tables):
+        planes = hyperplanes(64, 8, LSH_SEED + t)
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(w)) for w in plane)}]::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(planes)
+        )
+        buckets.append(f"CAST({terms} AS BIGINT) AS bucket{t}")
+    bcols = ",\n         ".join(buckets)
+    cond = " OR ".join(f"l.bucket{t} = r.bucket{t}" for t in range(n_tables))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         {bcols}
+  FROM e
+)
+SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+       round(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) AS cosine
+FROM b l JOIN b r ON l.vec_id < r.vec_id AND ({cond})
+"""
+
+
+ORACLES["ann_lsh_multi"] = _ann_lsh_multi_oracle()
+
 ORACLES["embedding_top1"] = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

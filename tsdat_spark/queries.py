@@ -568,6 +568,19 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_pairs(e, "vec_id", "v", n_planes=8)
 
 
+def q_ann_lsh_multi(spark, sf_dir):
+    """OR-amplified LSH candidate pairs (3 independent 8-plane tables,
+    exact-cosine re-rank) — the tunable-recall ANN path; see
+    vector.ann.ann_lsh_pairs_multi for the collision/cost model. dim=64
+    is the embeddings table's schema contract (no probe job)."""
+    from .vector.ann import ann_lsh_pairs_multi
+
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return ann_lsh_pairs_multi(e, "vec_id", "v", n_planes=8, n_tables=3, dim=64)
+
+
 def q_knn_cosine(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 20.
 
