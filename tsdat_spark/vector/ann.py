@@ -180,17 +180,21 @@ def ivf_search(
         F.col(query_id_col), F.col(query_vec_col), _norm(F.col(query_vec_col)).alias("__qnrm")
     )
     # nprobe nearest cells per query: rank the per-centroid cosines of the
-    # tiny query side (explode over literal centroid structs).
+    # tiny query side (explode over literal centroid structs). The literal
+    # array is ONE SQL expression string for the same reason as
+    # ivf_assign_expr: per-double F.lit() calls pay a py4j round trip each
+    # (n_cells·dim of them dominated this function's wall time).
     import math
 
-    cent = F.array(*[
-        F.struct(
-            F.lit(cid).cast("long").alias("centroid_id"),
-            F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-            F.lit(math.sqrt(sum(x * x for x in cv))).alias("cnrm"),
+    items = ",".join(
+        "named_struct('centroid_id',{cid}L,'cv',array({cv}),'cnrm',{cn}D)".format(
+            cid=cid,
+            cv=",".join(f"{float(x)!r}D" for x in cv),
+            cn=repr(math.sqrt(sum(x * x for x in cv))),
         )
-        for cid, cv in centroids
-    ])
+        for cid, cv in sorted(centroids)
+    )
+    cent = F.expr(f"array({items})")
     qc = q.select(query_id_col, query_vec_col, "__qnrm", F.explode(cent).alias("c"))
     qcos = _cos(F.col(query_vec_col), F.col("c.cv"), F.col("__qnrm"), F.col("c.cnrm"))
     wq = W.partitionBy(query_id_col).orderBy(F.desc("__ccos"), F.col("centroid_id"))
