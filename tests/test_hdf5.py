@@ -149,3 +149,17 @@ def test_boundaries_raise_named():
     with pytest.raises(ValueError, match="chunks exceeds"):
         write_hdf5({"time": np.arange(100000, dtype="int64"),
                     "v": np.zeros(100000)}, "time", chunk_rows=100)
+
+
+def test_reference_fixtures_via_generic_reader_dispatch(spark):
+    """The regex reader dispatch (io/readers.py DEFAULT_READERS) ingests
+    both reference fixtures end-to-end: .nc (NetCDF-4/HDF5, with the
+    majority-dim fallback since its coordinate is 'index', not 'time')
+    and .zarr (blosc/lz4)."""
+    from tsdat_spark.io.readers import DEFAULT_READERS, read_input
+
+    nc = read_input(spark, REF_NC, DEFAULT_READERS)
+    assert nc.count() == 3
+    assert sorted(nc.columns) == ["First Data Var", "index", "timestamp"]
+    zr = read_input(spark, "/root/reference/test/io/data/input.zarr", DEFAULT_READERS)
+    assert zr.count() == 3

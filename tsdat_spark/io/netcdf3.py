@@ -332,6 +332,15 @@ class NetCDF3Reader:
         with open(candidates[0], "rb") as f:
             _, _, variables = read_netcdf3(f.read())
         dim = self.dim
+        first_dims = [v["dims"][0] for v in variables.values() if v["dims"]]
+        if dim not in first_dims and first_dims:
+            # configured dim absent from this file: fall back to the
+            # majority dimension (ties -> name order), so `.nc` inputs with
+            # a different coordinate name (e.g. the reference fixture's
+            # "index") still scan through the generic reader dispatch
+            from collections import Counter
+
+            dim = min(Counter(first_dims).items(), key=lambda kv: (-kv[1], kv[0]))[0]
 
         cols: list[tuple[str, str]] = []
         for name, v in variables.items():
