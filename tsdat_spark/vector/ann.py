@@ -33,13 +33,25 @@ def hyperplanes(dim: int, n_planes: int, seed: int = LSH_SEED) -> np.ndarray:
 
 def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
     """Bucket id: Σ_j 2^j · [dot(v, plane_j) > 0] as a long (pure column
-    math; one fold per plane, whole-stage codegen'd)."""
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        lits = F.array(*[F.lit(float(w)) for w in plane])
-        dot = F.aggregate(F.zip_with(vec, lits, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(0)
-    return bucket
+    math; one fold per plane, whole-stage codegen'd). The plane matrix is
+    embedded as ONE SQL literal (an array of (weight-array, 2^j) structs)
+    folded with a single aggregate program — per-weight ``F.lit`` calls
+    each pay a py4j round trip, which dominated plan build at
+    n_planes·dim literals (same fix as ``ivf_assign_expr``)."""
+    items = ",".join(
+        "named_struct('w',array({w}),'bit',{bit}L)".format(
+            w=",".join(f"{float(x)!r}D" for x in plane), bit=1 << j
+        )
+        for j, plane in enumerate(planes)
+    )
+    tbl = F.expr(f"array({items})")
+
+    def add_plane(acc, p):
+        dot = F.aggregate(F.zip_with(vec, p["w"], lambda a, b: a * b),
+                          F.lit(0.0), lambda a, x: a + x)
+        return acc + F.when(dot > 0, p["bit"]).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(tbl, F.lit(0).cast("long"), add_plane)
 
 
 def _cos(vec_a: Column, vec_b: Column, nrm_a: Column, nrm_b: Column) -> Column:
