@@ -122,3 +122,54 @@ def test_write_tier_injectable_table_writer(spark, tmp_path):
     p = str(tmp_path / "tier")
     write_tier(df, p)
     assert read_tier(spark, p).count() == 1
+
+
+def test_engine_sinks_write_through_registered_filesystem(spark):
+    """Object-store readiness: registering a filesystem for a scheme makes
+    the driver-side sinks (NetCDF part files, lineage manifests) PUT whole
+    objects through it — no code edits, no local paths. (Executor-side
+    writers like zarr chunks resolve the registry inside each worker, so a
+    real deployment registers its FS in a module imported on executors.)"""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from tsdat_spark.io import fs as fsmod
+    from tsdat_spark.io.checkpoint import PartitionManifest, write_manifests
+    from tsdat_spark.io.hdf5_write import NetCDF4DatasetWriter
+
+    store = {}
+
+    class MemFS(fsmod.FileSystem):
+        def write_bytes(self, path, data):
+            store[path] = bytes(data)
+        def makedirs(self, path):
+            pass
+        def exists(self, path):
+            return path in store
+        def read_bytes(self, path, length=None):
+            return store[path] if length is None else store[path][:length]
+        def listdir(self, path):
+            return sorted({k[len(path):].lstrip("/").split("/")[0]
+                           for k in store if k.startswith(path)})
+
+    fsmod.register_filesystem("memsink", MemFS())
+
+    df = spark.range(100).select(
+        F.col("id").alias("time"), (F.col("id") * 2.0).alias("v")
+    )
+    NetCDF4DatasetWriter(dim="time", partitions=2).write(df, "memsink://bucket/out")
+    parts = [k for k in store if k.endswith(".nc")]
+    assert len(parts) == 2
+    # the objects are real HDF5 files
+    from tsdat_spark.io.hdf5 import read_hdf5
+
+    total = sum(len(read_hdf5(store[p])[2]["v"]["array"]) for p in parts)
+    assert total == 100
+
+    write_manifests("memsink://bucket/tier", [
+        PartitionManifest(partition="p0", n_rows=10, content_hash="h",
+                          qc_counters={"missing": 1}, input_snapshot_id="s1"),
+    ])
+    man = [k for k in store if k.endswith("p0.json")]
+    assert man and _json.loads(store[man[0]].decode())["n_rows"] == 10

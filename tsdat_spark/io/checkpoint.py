@@ -91,11 +91,14 @@ def _manifest_dir(table_path: str) -> str:
 
 
 def write_manifests(table_path: str, manifests: list[PartitionManifest]) -> None:
+    from .fs import get_filesystem
+
     d = _manifest_dir(table_path)
-    os.makedirs(d, exist_ok=True)
+    fs = get_filesystem(d)
+    fs.makedirs(d)
     for m in manifests:
-        with open(os.path.join(d, f"{m.partition}.json"), "w") as f:
-            json.dump(asdict(m), f, indent=1)
+        fs.write_text(os.path.join(d, f"{m.partition}.json"),
+                      json.dumps(asdict(m), indent=1))
 
 
 def completed_partitions(table_path: str) -> dict[str, PartitionManifest]:

@@ -40,6 +40,19 @@ class FileSystem:
     def listdir(self, path: str) -> list[str]:
         raise NotImplementedError
 
+    # write side: engine sinks (zarr chunks, .nc parts, attrs sidecars,
+    # lineage manifests) emit whole objects — the object-store-friendly
+    # contract (no appends, no partial writes)
+    def write_bytes(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def write_text(self, path: str, text: str) -> None:
+        self.write_bytes(path, text.encode("utf-8"))
+
+    def makedirs(self, path: str) -> None:
+        """Create intermediate 'directories'. No-op on flat object stores."""
+        raise NotImplementedError
+
 
 @dataclass(frozen=True)
 class LocalFileSystem(FileSystem):
@@ -59,6 +72,13 @@ class LocalFileSystem(FileSystem):
 
     def listdir(self, path: str) -> list[str]:
         return sorted(os.listdir(path))
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
 
 
 _REGISTRY: dict[str, FileSystem] = {"file": LocalFileSystem(), "": LocalFileSystem()}

@@ -354,7 +354,10 @@ class NetCDF4DatasetWriter:
 
         import pandas as pd
 
-        os.makedirs(path, exist_ok=True)
+        from .fs import get_filesystem
+
+        fs = get_filesystem(path)
+        fs.makedirs(path)
         attrs, var_attrs, dim = self.attrs, self.var_attrs, self.dim
         chunk_rows, level = self.chunk_rows, self.compress_level
 
@@ -372,7 +375,6 @@ class NetCDF4DatasetWriter:
         staged = df.repartition(self.partitions) if self.partitions else df
         parts = staged.mapInPandas(render, "blob binary").collect()
         for i, row in enumerate(parts):
-            with open(os.path.join(path, f"part-{i:05d}.nc"), "wb") as f:
-                f.write(bytes(row["blob"]))
+            fs.write_bytes(os.path.join(path, f"part-{i:05d}.nc"), bytes(row["blob"]))
 
     __call__ = write

@@ -109,18 +109,24 @@ class CSVDatasetWriter:
             .csv(path)
         )
         import csv
+        import io as _io
         import os
 
-        with open(os.path.join(path, self.ATTRS_SIDECAR), "w", newline="\n") as fp:
-            w = csv.writer(fp)
-            for k, v in self.attrs.items():
-                w.writerow([k, v])
+        from .fs import get_filesystem
+
+        fs = get_filesystem(path)
+        buf = _io.StringIO(newline="\n")
+        w = csv.writer(buf)
+        for k, v in self.attrs.items():
+            w.writerow([k, v])
+        fs.write_text(os.path.join(path, self.ATTRS_SIDECAR), buf.getvalue())
         keys = sorted({a for attrs in self.var_attrs.values() for a in attrs})
-        with open(os.path.join(path, self.VAR_ATTRS_SIDECAR), "w", newline="\n") as fp:
-            w = csv.writer(fp)
-            w.writerow(["name", *keys])
-            for name, attrs in self.var_attrs.items():
-                w.writerow([name, *[attrs.get(k, "") for k in keys]])
+        buf = _io.StringIO(newline="\n")
+        w = csv.writer(buf)
+        w.writerow(["name", *keys])
+        for name, attrs in self.var_attrs.items():
+            w.writerow([name, *[attrs.get(k, "") for k in keys]])
+        fs.write_text(os.path.join(path, self.VAR_ATTRS_SIDECAR), buf.getvalue())
 
     # uniform sink signature (matches write_tier's table_writer contract)
     __call__ = write

@@ -216,12 +216,11 @@ class ZarrDatasetWriter:
     def write(self, df: DataFrame, path: str) -> None:
         import pandas as pd
 
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, ".zgroup"), "w") as f:
-            json.dump({"zarr_format": 2}, f)
+        fs = get_filesystem(path)
+        fs.makedirs(path)
+        fs.write_text(os.path.join(path, ".zgroup"), json.dumps({"zarr_format": 2}))
         if self.attrs:
-            with open(os.path.join(path, ".zattrs"), "w") as f:
-                json.dump(self.attrs, f)
+            fs.write_text(os.path.join(path, ".zattrs"), json.dumps(self.attrs))
 
         ordered = df.orderBy(*self.order_by) if self.order_by else df
         fields = [(fld.name, fld.dataType.simpleString()) for fld in df.schema.fields]
@@ -249,7 +248,7 @@ class ZarrDatasetWriter:
         # .zarray + .zattrs per column (driver-side, tiny)
         for name, typ in fields:
             adir = os.path.join(path, name)
-            os.makedirs(adir, exist_ok=True)
+            fs.makedirs(adir)
             if typ == "timestamp":
                 from .cf import CF_EPOCH_US_UNITS
 
@@ -262,13 +261,13 @@ class ZarrDatasetWriter:
                 dtype, extra = f"<U{widths.get(name, 1)}", {}
             else:
                 dtype, extra = "<f8", {}
-            with open(os.path.join(adir, ".zarray"), "w") as f:
-                json.dump({"zarr_format": 2, "shape": [total], "chunks": [cw],
-                           "dtype": dtype, "compressor": comp, "fill_value": None,
-                           "filters": None, "order": "C"}, f)
-            with open(os.path.join(adir, ".zattrs"), "w") as f:
-                json.dump({"_ARRAY_DIMENSIONS": [dim],
-                           **extra, **self.var_attrs.get(name, {})}, f)
+            fs.write_text(os.path.join(adir, ".zarray"), json.dumps(
+                {"zarr_format": 2, "shape": [total], "chunks": [cw],
+                 "dtype": dtype, "compressor": comp, "fill_value": None,
+                 "filters": None, "order": "C"}))
+            fs.write_text(os.path.join(adir, ".zattrs"), json.dumps(
+                {"_ARRAY_DIMENSIONS": [dim],
+                 **extra, **self.var_attrs.get(name, {})}))
         if total == 0:
             return
 
@@ -304,8 +303,10 @@ class ZarrDatasetWriter:
                     pad = np.zeros(cw - len(arr), dtype=arr.dtype)
                     arr = np.concatenate([arr, pad])
                 arr = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
-                with open(os.path.join(path, name, str(ci)), "wb") as f:
-                    f.write(_compress(arr.tobytes(), comp, arr.dtype.itemsize))
+                get_filesystem(path).write_bytes(
+                    os.path.join(path, name, str(ci)),
+                    _compress(arr.tobytes(), comp, arr.dtype.itemsize),
+                )
             return pd.DataFrame({"chunk": [ci], "rows": [len(pdf)]})
 
         # NB: count() is the action that runs the chunk-writing job — it must
