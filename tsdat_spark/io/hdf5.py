@@ -107,11 +107,13 @@ def _parse_messages_v2(data, off):
     p += cl
     track_order = bool(flags & 0x4)
     msgs = []
+    hdr_len = 6 if track_order else 4
     blocks = [(p, chunk0)]
     while blocks:
         boff, bsize = blocks.pop(0)
         p, end = boff, boff + bsize
-        while p + 4 <= end - 3:  # gap smaller than a message header ends block
+        # trailing bytes smaller than one message header are a spec'd gap
+        while end - p >= hdr_len:
             mtype, msize, mflags = struct.unpack_from("<BHB", data, p)
             p += 4
             if track_order:
