@@ -163,3 +163,40 @@ def test_reference_fixtures_via_generic_reader_dispatch(spark):
     assert sorted(nc.columns) == ["First Data Var", "index", "timestamp"]
     zr = read_input(spark, "/root/reference/test/io/data/input.zarr", DEFAULT_READERS)
     assert zr.count() == 3
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    n_float=st.integers(min_value=0, max_value=3),
+    n_int=st.integers(min_value=0, max_value=3),
+    n_str=st.integers(min_value=0, max_value=2),
+    chunked=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_hdf5_roundtrip_property(n, n_float, n_int, n_str, chunked, seed):
+    """Any mix of float/int/string columns at any length round-trips
+    byte-exactly through write_hdf5 -> read_hdf5, chunked or contiguous."""
+    rng = np.random.RandomState(seed)
+    cols = {"time": np.arange(n, dtype="int64")}
+    for i in range(n_float):
+        cols[f"f{i}"] = rng.standard_normal(n)
+    for i in range(n_int):
+        cols[f"i{i}"] = rng.randint(-1000, 1000, n).astype("int64")
+    for i in range(n_str):
+        cols[f"s{i}"] = np.array(
+            ["".join(chr(97 + c) for c in rng.randint(0, 26, rng.randint(0, 9)))
+             for _ in range(n)], dtype=object)
+    blob = write_hdf5(cols, "time", chunk_rows=64 if chunked else None)
+    dims, _, vs = read_hdf5(blob)
+    assert dims == {"time": n}
+    for name, a in cols.items():
+        got = vs[name]["array"]
+        if a.dtype == object:
+            assert list(got) == list(a)
+        else:
+            assert np.array_equal(got.astype(a.dtype), a), name
