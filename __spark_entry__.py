@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": Q.q_simhash16,
         "jaccard_pairs": Q.q_jaccard_pairs,
         "dedup_clusters": Q.q_dedup_clusters,
+        "dedup_clusters_contraction": Q.q_dedup_clusters_contraction,
         "clean_corpus": Q.q_clean_corpus,
         "fingerprint_winnow": Q.q_fingerprint_winnow,
         "knn_cosine": Q.q_knn_cosine,

@@ -602,6 +602,9 @@ FROM d
 """
 del ORACLES["qc_qc_monotonic_value_placeholder"]
 
+# the contraction path must produce the identical cluster assignment
+ORACLES["dedup_clusters_contraction"] = ORACLES["dedup_clusters"]
+
 _CC = ORACLES["dedup_clusters"]
 # wrap the full recursive query as a subselect and join the quality columns
 ORACLES["clean_corpus"] = f"""

@@ -461,6 +461,26 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_contraction(spark, sf_dir):
+    """Same cluster assignment as q_dedup_clusters but forced through the
+    large-star/small-star contraction path (graph.py) — hash-equal to the
+    recursive-CTE oracle, proving the adversarial-diameter algorithm
+    produces identical clusters on the real dedup graph."""
+    from .graph import connected_components
+    from .text.dedup import lsh_candidate_pairs, minhash_signature
+
+    d = _documents(spark, sf_dir)
+    sig = minhash_signature(d.select("doc_id", "text"), "text", k=16)
+    pairs = lsh_candidate_pairs(sig, "doc_id", k=16, bands=4)
+    comp = connected_components(pairs, "doc_a", "doc_b", nodes=d.select("doc_id"),
+                                method="contraction")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 def q_clean_corpus(spark, sf_dir):
     """The end-to-end training-data pipeline composition: keep a document
     iff it is (a) its near-dup cluster's keeper (LSH → connected
