@@ -416,3 +416,45 @@ def test_sessionize_eventtime_timeout_flushes_quiet_conversation(spark, tmp_path
     rows = [r for r in spark.sql("select * from to_sessions").collect() if r["conv_id"] == "q0"]
     assert len(rows) == 1, rows
     assert rows[0]["n_turns"] == 3 and rows[0]["session_end"] == base + dt.timedelta(minutes=2)
+
+
+def test_builtin_session_window_counts(spark, tmp_path):
+    """The built-in session_window formulation must produce the same
+    closed sessions (start/end/counts) as the custom stateful operator's
+    semantics: >gap starts a new session; emission once the watermark
+    passes a session."""
+    import datetime as dt
+
+    from tsdat_spark.streaming import stream_session_counts
+
+    base = dt.datetime(2024, 4, 10)
+    mk = lambda mins, i: ("b0", i, base + dt.timedelta(minutes=mins), 4)
+    ddl = "conv_id string, turn_idx int, ts timestamp, token_len int"
+    # two sessions (0-7min, 60-67min) + a far-future watermark pusher
+    drop1 = [mk(m, i) for i, m in enumerate(range(0, 8))] + \
+            [mk(60 + m, 8 + i) for i, m in enumerate(range(0, 8))]
+    drop2 = [mk(600, 16)]
+
+    src = str(tmp_path / "sw_src")
+    spark.createDataFrame(drop1, ddl).write.mode("overwrite").parquet(src)
+    q = (
+        stream_session_counts(
+            spark.readStream.schema(ddl).parquet(src), gap_s=1800, watermark="10 minutes"
+        )
+        .writeStream.format("memory").queryName("sw_sessions")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(drop2, ddl).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = sorted(spark.sql("select * from sw_sessions").collect(),
+                  key=lambda r: r["session_start"])
+    assert len(rows) == 2
+    s0, s1 = rows
+    assert s0["session_start"] == base and s0["session_end"] == base + dt.timedelta(minutes=7)
+    assert s0["n_turns"] == 8 and s0["token_len_sum"] == 32
+    assert s1["session_start"] == base + dt.timedelta(minutes=60)
+    assert s1["n_turns"] == 8

@@ -239,6 +239,35 @@ def sessionize_stream(
     )
 
 
+def stream_session_counts(
+    stream_df: DataFrame,
+    gap_s: int = 1800,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    token_col: str = "token_len",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session aggregates via Spark's BUILT-IN ``session_window`` — the
+    zero-custom-state formulation of the same gap semantics. Compared to
+    the applyInPandasWithState operators: no session_idx (sessions are
+    keyed by their window), aggregates limited to what SQL expresses, and
+    emission at watermark expiry — but the state store, merge logic, and
+    disorder handling are all Spark's own, which is the right default when
+    count/sum/min/max per session is all a job needs. Scale: state is per
+    (key, open window), merged by the engine, bounded by the watermark."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), f"{gap_s} seconds").alias("w"), conv_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.coalesce(F.sum(token_col), F.lit(0)).alias("token_len_sum"),
+        )
+        .select(conv_col, "session_start", "session_end", "n_turns", "token_len_sum")
+    )
+
+
 def sessionize_stream_eventtime(
     stream_df: DataFrame,
     gap_s: int = 1800,
