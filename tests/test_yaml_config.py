@@ -170,3 +170,31 @@ def test_yaml_pipeline_csv_storage_roundtrip(spark, tmp_path):
         assert abs(got[k]["temp"] - exp[k]["temp"]) < 1e-9
         assert got[k]["qc_temp"] == exp[k]["qc_temp"]
         assert got[k]["time"] == exp[k]["time"]
+
+
+def test_cli_generate_schema(tmp_path, capsys):
+    """tsdat CLI parity (tsdat/cli/cli.py:7-17): generate-schema writes the
+    six yaml JSON schemas; acdd/ioos standards add required global attrs;
+    the schemas validate the repo's own example pipeline yaml shape."""
+    import json
+
+    from tsdat_spark.cli import generate_schema, main
+
+    written = generate_schema(str(tmp_path / "s"), "tsdat")
+    assert len(written) == 5
+    out = capsys.readouterr().out
+    assert "tsdat dataset standards" in out and "Done!" in out
+
+    main(["generate-schema", "--dir", str(tmp_path / "s2"), "--standards", "acdd"])
+    assert "acdd dataset standards" in capsys.readouterr().out
+    ds = json.load(open(tmp_path / "s2" / "dataset-schema.json"))
+    assert "title" in ds["properties"]["attrs"]["required"]
+
+    main(["generate-schema", "--dir", str(tmp_path / "s3"), "--standards", "ioos"])
+    ds = json.load(open(tmp_path / "s3" / "dataset-schema.json"))
+    assert "creator_country" in ds["properties"]["attrs"]["required"]
+
+    # structural sanity: pipeline schema nests the others and requires the
+    # sections load_pipeline_yaml requires
+    pl = json.load(open(tmp_path / "s" / "pipeline-schema.json"))
+    assert set(pl["required"]) == {"triggers", "retriever", "dataset", "storage"}
