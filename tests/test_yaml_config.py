@@ -181,7 +181,10 @@ def test_cli_generate_schema(tmp_path, capsys):
     from tsdat_spark.cli import generate_schema, main
 
     written = generate_schema(str(tmp_path / "s"), "tsdat")
-    assert len(written) == 5
+    assert len(written) == 6
+    vap = json.load(open(tmp_path / "s" / "vap-retriever-schema.json"))
+    fp = vap["properties"]["parameters"]["properties"]["fetch_parameters"]
+    assert "time_padding" in fp["properties"]
     out = capsys.readouterr().out
     assert "tsdat dataset standards" in out and "Done!" in out
 

@@ -219,6 +219,45 @@ def pipeline_schema(standards: str) -> dict:
     }
 
 
+def vap_retriever_schema() -> dict:
+    """Retriever + VAP fetch/transformation parameters (reference
+    ``vap_retriever_config.py:12-60``; engine: fetch padding in
+    ``pipeline.py`` and transform alignment/range/width in
+    ``transform/``)."""
+    sch = json.loads(json.dumps(RETRIEVER_SCHEMA))  # deep copy
+    sch["title"] = "VAP retriever config (retriever + fetch/transformation parameters)"
+    sch["properties"]["parameters"] = {
+        "type": "object",
+        "properties": {
+            "fetch_parameters": {
+                "type": "object",
+                "properties": {
+                    "time_padding": {
+                        "type": "string",
+                        "pattern": r"^[\+|\-]?[0-9]+[h|m|s]?(ms)?$",
+                        "description": "look-back/ahead padding around the "
+                        "requested [begin, end) fetch range, e.g. -24h / +30m / 24h",
+                    }
+                },
+            },
+            "transformation_parameters": {
+                "type": "object",
+                "properties": {
+                    "alignment": {
+                        "type": "object",
+                        "additionalProperties": {"enum": ["LEFT", "RIGHT", "CENTER"]},
+                    },
+                    "range": {"type": "object",
+                              "additionalProperties": {"type": "string"}},
+                    "width": {"type": "object",
+                              "additionalProperties": {"type": "string"}},
+                },
+            },
+        },
+    }
+    return sch
+
+
 def generate_schema(dir: str = ".vscode/schema/", standards: str = "tsdat") -> list[str]:
     if standards not in ("tsdat", "acdd", "ioos"):
         raise SystemExit(f"unknown standards {standards!r} (tsdat | acdd | ioos)")
@@ -226,6 +265,7 @@ def generate_schema(dir: str = ".vscode/schema/", standards: str = "tsdat") -> l
     print(f"Using {standards} dataset standards")
     mapping = {
         "retriever": RETRIEVER_SCHEMA,
+        "vap-retriever": vap_retriever_schema(),
         "dataset": dataset_schema(standards),
         "quality": QUALITY_SCHEMA,
         "storage": STORAGE_SCHEMA,
