@@ -458,3 +458,74 @@ def test_builtin_session_window_counts(spark, tmp_path):
     assert s0["n_turns"] == 8 and s0["token_len_sum"] == 32
     assert s1["session_start"] == base + dt.timedelta(minutes=60)
     assert s1["n_turns"] == 8
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_sessionize_eventtime_random_disorder_matches_batch(spark, tmp_path, seed):
+    """Property-style: random turn times split into random micro-batches
+    with bounded (within-watermark) disorder must yield EXACTLY the batch
+    sessionization of the union — counts, bounds, and time-ordered
+    session_idx — once a far-future turn closes everything."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Window as W
+
+    from tsdat_spark.streaming import sessionize_stream_eventtime
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 5, 1)
+    gap_s = 1800
+    # ~60 turns over ~6 hours: dense runs with occasional > gap holes
+    times, t = [], 0.0
+    for _ in range(60):
+        t += rng.choice([rng.uniform(10, 600), rng.uniform(2000, 4000)])
+        times.append(t)
+    rows = [("r0", i, base + dt.timedelta(seconds=s), 3) for i, s in enumerate(times)]
+
+    # shuffle locally within a 20-minute disorder horizon (< 1h watermark):
+    # sort by ts + bounded random jitter, then slice into batches
+    jittered = sorted(rows, key=lambda r: (r[2], ))
+    jittered = sorted(jittered, key=lambda r: r[2] + dt.timedelta(
+        seconds=rng.uniform(0, 1200)))
+    cuts = sorted(rng.sample(range(1, len(rows)), 4))
+    batches = [jittered[a:b] for a, b in zip([0, *cuts], [*cuts, len(rows)])]
+    closer_ts = base + dt.timedelta(seconds=max(times) + 8 * 3600)
+    batches.append([("r0", 999, closer_ts, 3)])
+
+    ddl = "conv_id string, turn_idx int, ts timestamp, token_len int"
+    src = str(tmp_path / f"rd_src_{seed}")
+    spark.createDataFrame(batches[0], ddl).write.mode("overwrite").parquet(src)
+    q = (
+        sessionize_stream_eventtime(
+            spark.readStream.schema(ddl).parquet(src), gap_s=gap_s, watermark="1 hour"
+        )
+        .writeStream.format("memory").queryName(f"rd_sessions_{seed}")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / f"rd_ckpt_{seed}"))
+        .start()
+    )
+    q.processAllAvailable()
+    for b in batches[1:]:
+        spark.createDataFrame(b, ddl).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["session_idx"]: (r["n_turns"], r["session_start"], r["session_end"], r["token_len_sum"])
+        for r in spark.sql(f"select * from rd_sessions_{seed}").collect()
+    }
+
+    # batch oracle over the ORIGINAL rows (without the closer's own session)
+    df = spark.createDataFrame(rows, ddl)
+    w = W.partitionBy("conv_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_s = F.when(gap.isNull() | (gap > gap_s * 1_000_000), 1).otherwise(0)
+    sess = df.withColumn(
+        "sidx", F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0)) - 1)
+    exp = {
+        r["sidx"]: (r["n"], r["st"], r["en"], r["tk"])
+        for r in sess.groupBy("sidx").agg(
+            F.count(F.lit(1)).alias("n"), F.min("ts").alias("st"),
+            F.max("ts").alias("en"), F.sum("token_len").alias("tk")).collect()
+    }
+    assert got == exp, (got, exp)
