@@ -120,3 +120,110 @@ def test_zarr_writer_blosc_roundtrip(spark, tmp_path):
     assert len(back) == 3000
     assert back[16]["v"] == 16 % 17 * 0.25
     assert back[2999]["v"] == 2999 % 17 * 0.25
+
+
+def _write_v3_store(root, n=700, cw=256):
+    """Hand-built zarr v3 store straight from the spec — group zarr.json +
+    arrays with three codec chains (bytes-only, bytes+gzip, bytes+blosc)
+    and one wholly-missing chunk (fill_value path)."""
+    import gzip as _gzip
+    import json
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "group", "attributes": {}}, f)
+
+    def arr_meta(dtype, codecs):
+        return {
+            "zarr_format": 3, "node_type": "array", "shape": [n],
+            "data_type": dtype,
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [cw]}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": -1 if dtype.startswith("int") else 0.0,
+            "codecs": codecs, "attributes": {"units": "1"},
+        }
+
+    bytes_codec = {"name": "bytes", "configuration": {"endian": "little"}}
+    specs = {
+        "plain": ("int64", [bytes_codec],
+                  np.arange(n, dtype="<i8")),
+        "gz": ("float64", [bytes_codec, {"name": "gzip",
+                                         "configuration": {"level": 5}}],
+               np.linspace(0, 1, n)),
+        "bl": ("float64", [bytes_codec, {"name": "blosc",
+                                         "configuration": {"cname": "lz4",
+                                                           "shuffle": "shuffle",
+                                                           "typesize": 8}}],
+               np.sin(np.arange(n) * 0.01)),
+    }
+    for name, (dtype, codecs, data) in specs.items():
+        adir = os.path.join(root, name)
+        os.makedirs(os.path.join(adir, "c"), exist_ok=True)
+        with open(os.path.join(adir, "zarr.json"), "w") as f:
+            json.dump(arr_meta(dtype, codecs), f)
+        for ci in range(-(-n // cw)):
+            part = data[ci * cw:(ci + 1) * cw]
+            if len(part) < cw:
+                part = np.concatenate([part, np.zeros(cw - len(part), data.dtype)])
+            raw = part.astype(data.dtype.newbyteorder("<")).tobytes()
+            for c in codecs:
+                if c["name"] == "gzip":
+                    raw = _gzip.compress(raw, c["configuration"]["level"])
+                elif c["name"] == "blosc":
+                    raw = blosc_compress(raw, 8)
+            with open(os.path.join(adir, "c", str(ci)), "wb") as f:
+                f.write(raw)
+    # a fourth array with NO chunk files: fill_value everywhere
+    adir = os.path.join(root, "empty")
+    os.makedirs(adir, exist_ok=True)
+    with open(os.path.join(adir, "zarr.json"), "w") as f:
+        json.dump(arr_meta("int64", [bytes_codec]), f)
+    return specs
+
+
+def test_zarr_v3_store_reads(tmp_path):
+    from tsdat_spark.io.zarr2 import read_zarr_array
+
+    root = str(tmp_path / "v3.zarr")
+    specs = _write_v3_store(root)
+    for name, (_, _, data) in specs.items():
+        got = read_zarr_array(f"{root}/{name}")
+        assert np.array_equal(got, data), name
+    empty = read_zarr_array(f"{root}/empty")
+    assert (empty == -1).all() and len(empty) == 700
+
+
+def test_zarr_v3_spark_scan(spark, tmp_path):
+    from tsdat_spark.io.zarr2 import ZarrReader
+
+    root = str(tmp_path / "v3s.zarr")
+    specs = _write_v3_store(root)
+    df = ZarrReader(dim="plain").read(spark, root)
+    assert df.count() == 700
+    rows = df.orderBy("plain").collect()
+    assert rows[10]["plain"] == 10
+    assert abs(rows[10]["gz"] - 10 / 699) < 1e-12
+    assert rows[0]["empty"] == -1
+
+
+def test_zarr_v3_boundaries(tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from tsdat_spark.io.zarr2 import read_zarr_meta
+
+    adir = str(tmp_path / "bad")
+    os.makedirs(adir)
+    meta = {"zarr_format": 3, "node_type": "array", "shape": [4],
+            "data_type": "float64",
+            "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+            "codecs": [{"name": "zstd", "configuration": {}}]}
+    with open(os.path.join(adir, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="zstd"):
+        read_zarr_meta(adir)

@@ -1,16 +1,21 @@
-"""Pure-stdlib Zarr v2 store reader/writer (tsdat ZarrReader/ZarrWriter/
-ZarrLocalStorage analogs, ``tsdat/io/readers/zarr_reader.py:9-22``).
+"""Pure-stdlib Zarr v2 + v3 store reader / v2 writer (tsdat ZarrReader/
+ZarrWriter/ZarrLocalStorage analogs, ``tsdat/io/readers/zarr_reader.py:9-22``).
 
-Zarr v2 is a trivially simple public format: one directory per array with a
-``.zarray`` JSON (shape/chunks/dtype/compressor/fill_value) + ``.zattrs``,
-and one file per chunk named by its grid index. No zarr package is needed
-for the subset an engine store uses:
+Zarr is a simple public format: one directory per array with JSON metadata
+(v2: ``.zarray``/``.zattrs``; v3: one ``zarr.json``) and one file per
+chunk ("<i>" in v2, "c/<i>" in v3). Both versions normalize to one meta
+shape here, so every consumer — incl. the chunk-grid-parallel Spark scan —
+is version-agnostic. No zarr package is needed for the subset an engine
+store uses:
 
 - codecs: raw (``compressor: null``), ``zlib``, ``gzip`` (stdlib), and
   ``blosc`` (the zarr-python default, used by the reference's test
   fixture) via the from-spec pure-Python container codec in
   ``compress/bloscc.py`` (lz4 + byte-shuffle; zstd/bitshuffle remain a
   documented boundary).
+- v3 codec chains: ``bytes`` (little-endian) + ``gzip``/``blosc``/
+  ``crc32c`` (zstd raises a named boundary); regular chunk grids, default
+  and v2 chunk-key encodings.
 - arrays: 1-D over a shared dimension (the engine's relational shape),
   numeric + fixed-width unicode, uniform chunks (last may be partial) —
   the xarray ``_ARRAY_DIMENSIONS`` convention is written and honored.
@@ -84,11 +89,89 @@ def _compress(raw: bytes, compressor: dict | None, typesize: int = 1) -> bytes:
     raise ValueError(f"unsupported zarr compressor {cid!r}")
 
 
+# Zarr v3 (the current zarr-python default format): one `zarr.json` per
+# node instead of .zarray/.zattrs, a codec CHAIN instead of a single
+# compressor, and "c/<i>"-style chunk keys. Normalized here into the same
+# meta dict shape the v2 paths use, so every downstream consumer
+# (read_zarr_chunk / read_zarr_array / the Spark ZarrReader grid scan) is
+# version-agnostic. Spec: https://zarr-specs.readthedocs.io/en/latest/v3/core/index.html
+_V3_DTYPES = {
+    "float64": "<f8", "float32": "<f4",
+    "int64": "<i8", "int32": "<i4", "int16": "<i2", "int8": "|i1",
+    "uint64": "<u8", "uint32": "<u4", "uint16": "<u2", "uint8": "|u1",
+    "bool": "|b1",
+}
+
+
+def _normalize_v3_meta(meta: dict, array_dir: str) -> tuple[dict, dict]:
+    if meta.get("node_type") != "array":
+        raise ValueError(f"zarr.json at {array_dir} is not an array node")
+    dt = _V3_DTYPES.get(meta.get("data_type"))
+    if dt is None:
+        raise ValueError(
+            f"unsupported zarr v3 data_type {meta.get('data_type')!r} "
+            "(numeric/bool supported; v3 has no fixed-unicode type)"
+        )
+    grid = meta.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise ValueError(f"unsupported v3 chunk grid {grid.get('name')!r}")
+    cke = meta.get("chunk_key_encoding", {"name": "default"})
+    sep = cke.get("configuration", {}).get("separator", "/")
+    if cke.get("name") == "default":
+        key_fmt = "c" + sep + "{i}"
+    elif cke.get("name") == "v2":
+        key_fmt = "{i}"
+    else:
+        raise ValueError(f"unsupported v3 chunk key encoding {cke.get('name')!r}")
+    codecs = meta.get("codecs", [])
+    for c in codecs:
+        if c.get("name") == "bytes":
+            if c.get("configuration", {}).get("endian", "little") != "little":
+                raise ValueError("big-endian v3 bytes codec unsupported")
+        elif c.get("name") not in ("gzip", "zstd", "blosc", "crc32c"):
+            raise ValueError(f"unsupported v3 codec {c.get('name')!r}")
+        elif c.get("name") == "zstd":
+            raise ValueError("zstd v3 codec unsupported (documented boundary)")
+    norm = {
+        "zarr_format": 3, "shape": meta["shape"],
+        "chunks": grid["configuration"]["chunk_shape"], "dtype": dt,
+        "fill_value": meta.get("fill_value"),
+        "v3_codecs": codecs, "v3_key_fmt": key_fmt,
+    }
+    return norm, dict(meta.get("attributes") or {})
+
+
+def _decompress_v3(raw: bytes, codecs: list) -> bytes:
+    """Run the bytes→bytes part of a v3 codec chain in reverse."""
+    for c in reversed(codecs):
+        name = c.get("name")
+        if name == "bytes":
+            continue  # array<->bytes: little-endian passthrough (validated)
+        if name == "gzip":
+            import gzip as _gzip
+
+            raw = _gzip.decompress(raw)
+        elif name == "crc32c":
+            raw = raw[:-4]  # checksum stripped (verify skipped)
+        elif name == "blosc":
+            from ..compress.bloscc import blosc_decompress
+
+            raw = blosc_decompress(raw)
+    return raw
+
+
 def read_zarr_meta(array_dir: str) -> tuple[dict, dict]:
-    """(.zarray metadata, .zattrs attrs) for one array directory. All byte
-    access goes through the ``io.fs`` seam (object-store hook)."""
+    """(array metadata, attrs) for one array directory — zarr v2
+    (``.zarray``/``.zattrs``) or v3 (``zarr.json``), normalized to one meta
+    shape. All byte access goes through the ``io.fs`` seam."""
     fs = get_filesystem(array_dir)
-    meta = json.loads(fs.read_text(os.path.join(array_dir, ".zarray")))
+    v2_path = os.path.join(array_dir, ".zarray")
+    if not fs.exists(v2_path):
+        v3_path = os.path.join(array_dir, "zarr.json")
+        if fs.exists(v3_path):
+            return _normalize_v3_meta(json.loads(fs.read_text(v3_path)), array_dir)
+        raise ValueError(f"no zarr array metadata (.zarray or zarr.json) in {array_dir}")
+    meta = json.loads(fs.read_text(v2_path))
     if meta.get("zarr_format") != 2:
         raise ValueError(f"not a zarr v2 array: {array_dir}")
     if meta.get("order", "C") != "C":
@@ -109,13 +192,19 @@ def read_zarr_chunk(array_dir: str, meta: dict, chunk_idx: int) -> np.ndarray:
     count = min(cw, n - chunk_idx * cw)
     dt = np.dtype(meta["dtype"])
     fs = get_filesystem(array_dir)
-    path = os.path.join(array_dir, str(chunk_idx))
+    if meta.get("zarr_format") == 3:
+        path = os.path.join(array_dir, meta["v3_key_fmt"].format(i=chunk_idx))
+    else:
+        path = os.path.join(array_dir, str(chunk_idx))
     if not fs.exists(path):
         fv = meta.get("fill_value")
         if fv is None:
             fv = np.nan if dt.kind == "f" else "" if dt.kind == "U" else 0
         return np.full(count, fv, dtype=dt)
-    raw = _decompress(fs.read_bytes(path), meta.get("compressor"))
+    if meta.get("zarr_format") == 3:
+        raw = _decompress_v3(fs.read_bytes(path), meta["v3_codecs"])
+    else:
+        raw = _decompress(fs.read_bytes(path), meta.get("compressor"))
     # a stored chunk is always full chunk width; trim the tail chunk
     return np.frombuffer(raw, dtype=dt)[:count]
 
@@ -152,10 +241,17 @@ class ZarrReader:
         import pandas as pd
 
         fs = get_filesystem(path)
-        arrays = sorted(
-            d for d in fs.listdir(path)
-            if fs.exists(os.path.join(path, d, ".zarray"))
-        )
+
+        def _is_array(d: str) -> bool:
+            sub = os.path.join(path, d)
+            if fs.exists(os.path.join(sub, ".zarray")):
+                return True
+            v3 = os.path.join(sub, "zarr.json")
+            if fs.exists(v3):
+                return json.loads(fs.read_text(v3)).get("node_type") == "array"
+            return False
+
+        arrays = sorted(d for d in fs.listdir(path) if _is_array(d))
         if not arrays:
             raise ValueError(f"no zarr arrays under {path}")
         metas = {a: read_zarr_meta(os.path.join(path, a)) for a in arrays}
