@@ -57,6 +57,64 @@ def test_blosc_roundtrip_auto(typesize, n):
     assert out == data
 
 
+def test_blosc_multiblock_leftover_tail_decodes():
+    """c-blosc never splits the leftover (partial tail) block even when
+    the tail alone passes the split-size rule, and it evaluates the split
+    rule on the HEADER blocksize. Build a 3.5-block chunk by hand the way
+    blosc_d expects it (tail = 1024 B = 128 items ≥ MIN_BUFFERSIZE, so a
+    naive per-block rule would wrongly split it) and decode."""
+    import struct
+
+    from tsdat_spark.compress.bloscc import (
+        FLAG_SHUFFLE, _CODEC_LZ4, _is_split, _shuffle,
+    )
+
+    typesize, blocksize = 8, 2048
+    rng = np.random.RandomState(3)
+    data = (rng.randint(0, 3, 3 * blocksize + 1024).astype(np.uint8) * 19).tobytes()
+    nbytes = len(data)
+    n_blocks = -(-nbytes // blocksize)
+    assert _is_split(_CODEC_LZ4, typesize, blocksize)
+    blocks = []
+    for j in range(n_blocks):
+        part = data[j * blocksize : (j + 1) * blocksize]
+        leftover = len(part) < blocksize
+        shuf = _shuffle(part, typesize)
+        nsplits = 1 if leftover else typesize
+        neblock = len(part) // nsplits
+        streams = b""
+        for k in range(nsplits):
+            seg = shuf[k * neblock : (k + 1) * neblock]
+            comp = lz4_compress(seg)
+            if len(comp) >= len(seg):
+                streams += struct.pack("<i", len(seg)) + seg
+            else:
+                streams += struct.pack("<i", len(comp)) + comp
+        blocks.append(streams)
+    body_off = 16 + 4 * n_blocks
+    offsets, pos = [], body_off
+    for b in blocks:
+        offsets.append(pos)
+        pos += len(b)
+    chunk = (
+        struct.pack(
+            "<BBBBIII", 2, 1, (_CODEC_LZ4 << 5) | FLAG_SHUFFLE,
+            typesize, nbytes, blocksize, pos,
+        )
+        + struct.pack(f"<{n_blocks}I", *offsets)
+        + b"".join(blocks)
+    )
+    assert blosc_decompress(chunk) == data
+
+
+def test_blosc_compress_unaligned_split_falls_back():
+    """nbytes not a multiple of typesize must not drop trailing bytes in
+    split mode — the encoder falls back to one stream."""
+    data = bytes(range(256)) * 40 + b"xyz"  # 10243 B, typesize 8 → unaligned
+    assert len(data) % 8 != 0
+    assert blosc_decompress(blosc_compress(data, 8)) == data
+
+
 def test_blosc_raw_mode_and_incompressible():
     rng = np.random.RandomState(11)
     data = rng.bytes(4096)
@@ -158,6 +216,10 @@ def _write_v3_store(root, n=700, cw=256):
                                                            "shuffle": "shuffle",
                                                            "typesize": 8}}],
                np.sin(np.arange(n) * 0.01)),
+        "crc": ("int64", [bytes_codec,
+                          {"name": "gzip", "configuration": {"level": 1}},
+                          {"name": "crc32c", "configuration": {}}],
+                np.arange(n, dtype="<i8") * 3),
     }
     for name, (dtype, codecs, data) in specs.items():
         adir = os.path.join(root, name)
@@ -174,6 +236,10 @@ def _write_v3_store(root, n=700, cw=256):
                     raw = _gzip.compress(raw, c["configuration"]["level"])
                 elif c["name"] == "blosc":
                     raw = blosc_compress(raw, 8)
+                elif c["name"] == "crc32c":
+                    from tsdat_spark.compress.crc32c import crc32c
+
+                    raw = raw + crc32c(raw).to_bytes(4, "little")
             with open(os.path.join(adir, "c", str(ci)), "wb") as f:
                 f.write(raw)
     # a fourth array with NO chunk files: fill_value everywhere
@@ -207,6 +273,25 @@ def test_zarr_v3_spark_scan(spark, tmp_path):
     assert rows[10]["plain"] == 10
     assert abs(rows[10]["gz"] - 10 / 699) < 1e-12
     assert rows[0]["empty"] == -1
+
+
+def test_zarr_v3_crc32c_detects_corruption(tmp_path):
+    """A flipped byte in a crc32c-protected chunk must raise, not decode
+    silently — the one job of a checksum codec."""
+    import pytest
+
+    from tsdat_spark.io.zarr2 import read_zarr_array
+
+    root = str(tmp_path / "v3c.zarr")
+    _write_v3_store(root)
+    chunk_path = f"{root}/crc/c/0"
+    with open(chunk_path, "rb") as f:
+        raw = bytearray(f.read())
+    raw[3] ^= 0xFF
+    with open(chunk_path, "wb") as f:
+        f.write(bytes(raw))
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        read_zarr_array(f"{root}/crc")
 
 
 def test_zarr_v3_boundaries(tmp_path):

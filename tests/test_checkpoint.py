@@ -146,7 +146,9 @@ def test_engine_sinks_write_through_registered_filesystem(spark):
         def makedirs(self, path):
             pass
         def exists(self, path):
-            return path in store
+            # object-store semantics: a "directory" exists iff some object
+            # lives under the prefix
+            return path in store or any(k.startswith(path + "/") for k in store)
         def read_bytes(self, path, length=None):
             return store[path] if length is None else store[path][:length]
         def listdir(self, path):
@@ -173,3 +175,11 @@ def test_engine_sinks_write_through_registered_filesystem(spark):
     ])
     man = [k for k in store if k.endswith("p0.json")]
     assert man and _json.loads(store[man[0]].decode())["n_rows"] == 10
+
+    # resume READS the same registry: manifests written to the object
+    # store must be visible to completed_partitions (regression: the read
+    # half used os.path.isdir and silently returned {} on s3-like paths)
+    from tsdat_spark.io.checkpoint import completed_partitions
+
+    done = completed_partitions("memsink://bucket/tier")
+    assert set(done) == {"p0"} and done["p0"].input_snapshot_id == "s1"

@@ -418,6 +418,56 @@ def test_sessionize_eventtime_timeout_flushes_quiet_conversation(spark, tmp_path
     assert rows[0]["n_turns"] == 3 and rows[0]["session_end"] == base + dt.timedelta(minutes=2)
 
 
+def test_sessionize_eventtime_resume_after_quiet_keeps_session_idx(spark, tmp_path):
+    """A conversation fully flushed by the timeout (all fragments closed,
+    none open) that later RESUMES must continue its per-conversation
+    session_idx (0, 1, ...) — not restart at 0 and emit a duplicate
+    (conv_id, session_idx) key. Regression: the all-closed path used to
+    state.remove(), discarding the emitted counter."""
+    import datetime as dt
+
+    from tsdat_spark.streaming import sessionize_stream_eventtime
+
+    base = dt.datetime(2024, 4, 4)
+    ddl = "conv_id string, turn_idx int, ts timestamp, token_len int"
+    src = str(tmp_path / "rs_src")
+    s0 = [("r0", i, base + dt.timedelta(minutes=i), 1) for i in range(3)]
+    spark.createDataFrame(s0, ddl).write.mode("overwrite").parquet(src)
+    q = (
+        sessionize_stream_eventtime(
+            spark.readStream.schema(ddl).parquet(src), gap_s=1800, watermark="10 minutes"
+        )
+        .writeStream.format("memory").queryName("rs_sessions")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "rs_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # another key pushes the watermark far past r0's session → timeout
+    # flush closes EVERYTHING r0 has open
+    spark.createDataFrame(
+        [("r1", 0, base + dt.timedelta(hours=5), 1)], ddl
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # r0 resumes with a brand-new session near the watermark, then r1
+    # pushes the watermark again to close it
+    s1 = [("r0", 10 + i, base + dt.timedelta(hours=5, minutes=i), 2) for i in range(2)]
+    spark.createDataFrame(s1, ddl).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    spark.createDataFrame(
+        [("r1", 1, base + dt.timedelta(hours=12), 1)], ddl
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = sorted(
+        (r for r in spark.sql("select * from rs_sessions").collect()
+         if r["conv_id"] == "r0"),
+        key=lambda r: r["session_start"],
+    )
+    assert [r["session_idx"] for r in rows] == [0, 1], rows
+    assert rows[0]["n_turns"] == 3 and rows[1]["n_turns"] == 2
+
+
 def test_builtin_session_window_counts(spark, tmp_path):
     """The built-in session_window formulation must produce the same
     closed sessions (start/end/counts) as the custom stateful operator's

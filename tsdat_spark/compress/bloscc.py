@@ -93,7 +93,13 @@ def blosc_decompress(chunk: bytes) -> bytes:
     out = bytearray()
     for j, off in enumerate(offsets):
         block_nbytes = min(blocksize, nbytes - j * blocksize)
-        nsplits = typesize if _is_split(codec, typesize, block_nbytes) else 1
+        # c-blosc's blosc_d: the leftover (partial tail) block is NEVER
+        # split (nsplits=1 when leftoverblock), and the split decision is
+        # made on the header blocksize, not the tail's actual size.
+        leftover = block_nbytes < blocksize
+        nsplits = (
+            typesize if (not leftover and _is_split(codec, typesize, blocksize)) else 1
+        )
         neblock = block_nbytes // nsplits
         block = bytearray()
         pos = off
@@ -138,6 +144,11 @@ def blosc_compress(
     if store_mode == "raw" or nbytes < MIN_BUFFERSIZE:
         header = _HEADER.pack(2, 1, FLAG_MEMCPYED, typesize, nbytes, nbytes, nbytes + 16)
         return header + data
+    if nbytes % typesize != 0:
+        # c-blosc forces typesize=1 when the buffer is not typesize-aligned
+        # (blosc_compress_context); recording the forced value in the header
+        # keeps the decoder's split rule consistent with what we emit.
+        typesize = 1
     flags = _CODEC_LZ4 << 5
     payload = data
     if shuffle and typesize > 1:

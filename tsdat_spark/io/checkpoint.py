@@ -102,14 +102,20 @@ def write_manifests(table_path: str, manifests: list[PartitionManifest]) -> None
 
 
 def completed_partitions(table_path: str) -> dict[str, PartitionManifest]:
+    """Read manifests through the same FS registry ``write_manifests`` uses,
+    so resume works on registered object-store schemes too (os.path.isdir
+    on an ``s3://...`` path would silently report no checkpoints and force a
+    full reprocess)."""
+    from .fs import get_filesystem
+
     d = _manifest_dir(table_path)
-    if not os.path.isdir(d):
+    fs = get_filesystem(d)
+    if not fs.exists(d):
         return {}
     out = {}
-    for name in os.listdir(d):
+    for name in fs.listdir(d):
         if name.endswith(".json"):
-            with open(os.path.join(d, name)) as f:
-                data = json.load(f)
+            data = json.loads(fs.read_text(os.path.join(d, name)))
             out[data["partition"]] = PartitionManifest(**data)
     return out
 

@@ -152,7 +152,17 @@ def _decompress_v3(raw: bytes, codecs: list) -> bytes:
 
             raw = _gzip.decompress(raw)
         elif name == "crc32c":
-            raw = raw[:-4]  # checksum stripped (verify skipped)
+            from ..compress.crc32c import crc32c
+
+            stored = int.from_bytes(raw[-4:], "little")
+            body = bytes(raw[:-4])
+            actual = crc32c(body)
+            if actual != stored:
+                raise ValueError(
+                    f"zarr v3 crc32c mismatch: stored {stored:#010x}, "
+                    f"computed {actual:#010x} — chunk is corrupted"
+                )
+            raw = body
         elif name == "blosc":
             from ..compress.bloscc import blosc_decompress
 

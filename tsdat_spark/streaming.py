@@ -343,7 +343,12 @@ def sessionize_stream_eventtime(
                 pass
 
         if not frags:
-            state.remove()
+            if emitted:
+                # keep the counter so a resumed conversation continues
+                # session_idx instead of restarting at 0
+                state.update(([], [], [], [], emitted))
+            else:
+                state.remove()
             return
 
         # sweep-merge: fragments sorted by start merge while covers touch
@@ -371,7 +376,12 @@ def sessionize_stream_eventtime(
             # flush when the watermark passes the earliest possible close
             state.setTimeoutTimestamp(min(f[1] for f in still_open) // 1000 + gap_s * 1000 + 1)
         else:
-            state.remove()
+            # all fragments closed: keep ONLY the emitted counter (empty
+            # fragment arrays, no timeout armed) so a conversation that
+            # goes quiet and later resumes keeps its stable per-conversation
+            # session_idx — the exactly-once numbering contract. Mirrors the
+            # ordered sessionize_stream, which never drops its counter.
+            state.update(([], [], [], [], emitted + len(closed)))
 
         if closed:
             yield pd.DataFrame(
