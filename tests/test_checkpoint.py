@@ -124,13 +124,16 @@ def test_write_tier_injectable_table_writer(spark, tmp_path):
     assert read_tier(spark, p).count() == 1
 
 
-def test_engine_sinks_write_through_registered_filesystem(spark):
-    """Object-store readiness: registering a filesystem for a scheme makes
-    the driver-side sinks (NetCDF part files, lineage manifests) PUT whole
-    objects through it — no code edits, no local paths. (Executor-side
-    writers like zarr chunks resolve the registry inside each worker, so a
-    real deployment registers its FS in a module imported on executors.)"""
+def test_engine_sinks_write_through_registered_filesystem(spark, tmp_path):
+    """Object-store readiness: registering a filesystem for a scheme ON THE
+    DRIVER makes every sink PUT whole objects through it — including the
+    binary part files now written INSIDE Spark tasks (the resolved FS
+    object is pickled into the task closure, so no executor-side
+    registration is needed). The stub models an object store the realistic
+    way: scheme-path translation + whole-object PUTs to a backing store
+    that worker processes can reach (a directory here; S3 in deployment)."""
     import json as _json
+    import os
 
     from pyspark.sql import functions as F
 
@@ -138,43 +141,56 @@ def test_engine_sinks_write_through_registered_filesystem(spark):
     from tsdat_spark.io.checkpoint import PartitionManifest, write_manifests
     from tsdat_spark.io.hdf5_write import NetCDF4DatasetWriter
 
-    store = {}
+    root = str(tmp_path / "objstore")
 
-    class MemFS(fsmod.FileSystem):
+    class StubObjectStore(fsmod.FileSystem):
+        def _local(self, path):
+            assert path.startswith("memsink://"), path
+            return os.path.join(root, path[len("memsink://"):])
         def write_bytes(self, path, data):
-            store[path] = bytes(data)
+            lp = self._local(path)
+            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            with open(lp, "wb") as f:
+                f.write(data)
         def makedirs(self, path):
-            pass
+            pass  # flat object store: no directory objects
         def exists(self, path):
-            # object-store semantics: a "directory" exists iff some object
-            # lives under the prefix
-            return path in store or any(k.startswith(path + "/") for k in store)
+            return os.path.exists(self._local(path))
         def read_bytes(self, path, length=None):
-            return store[path] if length is None else store[path][:length]
+            with open(self._local(path), "rb") as f:
+                return f.read() if length is None else f.read(length)
         def listdir(self, path):
-            return sorted({k[len(path):].lstrip("/").split("/")[0]
-                           for k in store if k.startswith(path)})
+            return sorted(os.listdir(self._local(path)))
 
-    fsmod.register_filesystem("memsink", MemFS())
+    fsmod.register_filesystem("memsink", StubObjectStore())
 
     df = spark.range(100).select(
         F.col("id").alias("time"), (F.col("id") * 2.0).alias("v")
     )
-    NetCDF4DatasetWriter(dim="time", partitions=2).write(df, "memsink://bucket/out")
-    parts = [k for k in store if k.endswith(".nc")]
+    manifest = NetCDF4DatasetWriter(dim="time", partitions=2).write(
+        df, "memsink://bucket/out"
+    )
+    # task-side writes return only (path, nbytes, rows) manifest rows
+    assert len(manifest) == 2
+    assert sum(r["rows"] for r in manifest) == 100
+    assert all(r["path"].startswith("memsink://bucket/out/part-") for r in manifest)
+    parts = [p for p in os.listdir(f"{root}/bucket/out") if p.endswith(".nc")]
     assert len(parts) == 2
     # the objects are real HDF5 files
     from tsdat_spark.io.hdf5 import read_hdf5
 
-    total = sum(len(read_hdf5(store[p])[2]["v"]["array"]) for p in parts)
+    total = 0
+    for p in parts:
+        with open(f"{root}/bucket/out/{p}", "rb") as f:
+            total += len(read_hdf5(f.read())[2]["v"]["array"])
     assert total == 100
 
     write_manifests("memsink://bucket/tier", [
         PartitionManifest(partition="p0", n_rows=10, content_hash="h",
                           qc_counters={"missing": 1}, input_snapshot_id="s1"),
     ])
-    man = [k for k in store if k.endswith("p0.json")]
-    assert man and _json.loads(store[man[0]].decode())["n_rows"] == 10
+    with open(f"{root}/bucket/tier/_manifests/p0.json", "rb") as f:
+        assert _json.loads(f.read().decode())["n_rows"] == 10
 
     # resume READS the same registry: manifests written to the object
     # store must be visible to completed_partitions (regression: the read

@@ -348,33 +348,18 @@ class NetCDF4DatasetWriter:
         self.chunk_rows = chunk_rows
         self.compress_level = compress_level
 
-    def write(self, df, path: str) -> None:
-        import os
-        from typing import Iterator
+    def write(self, df, path: str) -> list:
+        from .fs import write_binary_parts
 
-        import pandas as pd
-
-        from .fs import get_filesystem
-
-        fs = get_filesystem(path)
-        fs.makedirs(path)
         attrs, var_attrs, dim = self.attrs, self.var_attrs, self.dim
         chunk_rows, level = self.chunk_rows, self.compress_level
 
-        def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            chunks = [b for b in batches if not b.empty]
-            if not chunks:
-                return
-            pdf = pd.concat(chunks, ignore_index=True)
+        def render_blob(pdf) -> bytes:
             cols = {c: pdf[c].to_numpy() for c in pdf.columns}
-            blob = write_hdf5(cols, dim=dim, global_attrs=attrs,
+            return write_hdf5(cols, dim=dim, global_attrs=attrs,
                               var_attrs=var_attrs, chunk_rows=chunk_rows,
                               compress_level=level)
-            yield pd.DataFrame({"blob": [blob]})
 
-        staged = df.repartition(self.partitions) if self.partitions else df
-        parts = staged.mapInPandas(render, "blob binary").collect()
-        for i, row in enumerate(parts):
-            fs.write_bytes(os.path.join(path, f"part-{i:05d}.nc"), bytes(row["blob"]))
+        return write_binary_parts(df, path, render_blob, partitions=self.partitions)
 
     __call__ = write

@@ -399,11 +399,11 @@ class NetCDF3Reader:
 
 class NetCDF3DatasetWriter:
     """Engine sink: every partition becomes one classic CDF-2 .nc part
-    (``tsdat/io/writers/netcdf_writer.py`` analog for the classic subset),
-    written through Spark's csv sink trick? No — parts are binary, so each
-    partition RETURNS (filename, bytes) and a tiny driver loop persists
-    them; at cluster scale this would be a ``foreachPartition`` writing
-    straight to the object store. Attributes ride in the file itself."""
+    (``tsdat/io/writers/netcdf_writer.py`` analog for the classic subset).
+    Parts are rendered AND written inside each Spark task through the FS
+    seam (``fs.write_binary_parts``); only (path, nbytes, rows) manifest
+    rows return to the driver, so the driver is never on the data path.
+    Attributes ride in the file itself."""
 
     def __init__(self, attrs: dict | None = None, var_attrs: dict | None = None,
                  dim: str = "time", partitions: int | None = None):
@@ -412,30 +412,15 @@ class NetCDF3DatasetWriter:
         self.dim = dim
         self.partitions = partitions
 
-    def write(self, df: DataFrame, path: str) -> None:
-        import os
-        from typing import Iterator
+    def write(self, df: DataFrame, path: str) -> list:
+        from .fs import write_binary_parts
 
-        import pandas as pd
-
-        from .fs import get_filesystem
-
-        fs = get_filesystem(path)
-        fs.makedirs(path)
         attrs, var_attrs, dim = self.attrs, self.var_attrs, self.dim
 
-        def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            chunks = [b for b in batches if not b.empty]
-            if not chunks:
-                return
-            pdf = pd.concat(chunks, ignore_index=True)
+        def render_blob(pdf) -> bytes:
             cols = {c: pdf[c].to_numpy() for c in pdf.columns}
-            blob = write_netcdf3(cols, dim=dim, global_attrs=attrs, var_attrs=var_attrs)
-            yield pd.DataFrame({"blob": [blob]})
+            return write_netcdf3(cols, dim=dim, global_attrs=attrs, var_attrs=var_attrs)
 
-        staged = df.repartition(self.partitions) if self.partitions else df
-        parts = staged.mapInPandas(render, "blob binary").collect()
-        for i, row in enumerate(parts):
-            fs.write_bytes(os.path.join(path, f"part-{i:05d}.nc"), bytes(row["blob"]))
+        return write_binary_parts(df, path, render_blob, partitions=self.partitions)
 
     __call__ = write

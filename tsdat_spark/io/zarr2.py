@@ -409,7 +409,10 @@ class ZarrDatasetWriter:
                     pad = np.zeros(cw - len(arr), dtype=arr.dtype)
                     arr = np.concatenate([arr, pad])
                 arr = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
-                get_filesystem(path).write_bytes(
+                # fs is the DRIVER-resolved filesystem, pickled into the
+                # task — deployments only need register_filesystem() on the
+                # driver (same contract as fs.write_binary_parts)
+                fs.write_bytes(
                     os.path.join(path, name, str(ci)),
                     _compress(arr.tobytes(), comp, arr.dtype.itemsize),
                 )
