@@ -77,6 +77,10 @@ def main() -> None:
         "nearest_1h", "interpolate_1h", "dedup_exact", "token_count",
         "text_quality", "knn_cosine", "top_tokens", "distinct_tier_hll",
         "ivf_assign", "ivf_search", "sample_stratified",
+        # round 5: the dedup/LSH family joins the perf-tracked suite so
+        # plan regressions in the LLM-ops operators are visible per round
+        "lsh_pairs", "jaccard_pairs", "ann_lsh", "ann_lsh_multi",
+        "dedup_clusters",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
@@ -141,11 +145,16 @@ def main() -> None:
     # the round-2 composition so BENCH_r{N} deltas compare like with like.
     _r3_new = ("top_tokens", "distinct_tier_hll", "ivf_assign")
     _r4_new = ("ivf_search", "sample_stratified")
+    _r5_new = ("lsh_pairs", "jaccard_pairs", "ann_lsh", "ann_lsh_multi",
+               "dedup_clusters")
     extra["suite_r02_comparable_sec"] = round(
-        sum(v for k, v in timings.items() if k not in _r3_new + _r4_new), 3
+        sum(v for k, v in timings.items() if k not in _r3_new + _r4_new + _r5_new), 3
     )
     extra["suite_r03_comparable_sec"] = round(
-        sum(v for k, v in timings.items() if k not in _r4_new), 3
+        sum(v for k, v in timings.items() if k not in _r4_new + _r5_new), 3
+    )
+    extra["suite_r04_comparable_sec"] = round(
+        sum(v for k, v in timings.items() if k not in _r5_new), 3
     )
     print(json.dumps({
         "metric": "tsdat_spark_suite_sec",

@@ -61,8 +61,14 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from tsdat_spark.session import get_spark
@@ -74,6 +80,7 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    record = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,26 +89,40 @@ def main():
             got = fn(spark, sf_dir).toPandas()
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
+            record[name] = {"status": "fail", "error": f"spark: {exc}"}
             failures += 1
             continue
         if name not in oracles:
-            print(f"SKIP {name}: no oracle (rows-only: {len(got)} rows) [{time.time()-t0:.1f}s]")
+            dt = round(time.time() - t0, 1)
+            print(f"SKIP {name}: no oracle (rows-only: {len(got)} rows) [{dt}s]")
+            record[name] = {"status": "rows_only", "rows": len(got), "sec": dt}
             continue
         try:
             exp = con.execute(oracles[name]).df()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
+            record[name] = {"status": "fail", "error": f"duckdb: {exc}"}
             failures += 1
             continue
         issues = compare(name, got, exp)
+        dt = round(time.time() - t0, 1)
         if issues:
             failures += 1
-            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            print(f"FAIL {name} [{dt}s]")
             for i in issues:
                 print(f"   - {i}")
+            record[name] = {"status": "fail", "issues": issues, "sec": dt}
         else:
-            print(f"OK   {name}: {len(got)} rows [{time.time()-t0:.1f}s]")
+            print(f"OK   {name}: {len(got)} rows [{dt}s]")
+            record[name] = {"status": "ok", "rows": len(got), "sec": dt}
     print("failures:", failures)
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "failures": failures,
+                       "n_checked": len(record), "queries": record}, f, indent=1)
+        print("wrote", json_out)
     sys.exit(1 if failures else 0)
 
 

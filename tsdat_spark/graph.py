@@ -69,8 +69,13 @@ def connected_components(
     if method == "contraction":
         return connected_components_contraction(edges, src, dst, nodes)
 
-    und = edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).union(
-        edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+    # materialize the edge list ONCE: every propagation round joins against
+    # `und`, and the caller's edge plan is often an expensive pipeline (LSH
+    # candidate generation) that must not be re-executed per round
+    und = (
+        edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+        .union(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
+        .localCheckpoint(eager=True)
     )
     node_ids = _all_nodes(und, nodes)
 
@@ -81,20 +86,21 @@ def connected_components(
             .groupBy(F.col("n").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # the changed flag rides in the SAME job as the label update (one
+        # checkpoint materializes both), so convergence costs only a
+        # limit(1) probe over in-memory checkpointed blocks — not an extra
+        # self-join + full count per round
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+                (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .where(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").limit(1).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             return labels.select("node", F.col("lbl").alias("cluster_id"))
     if method == "auto":
@@ -151,6 +157,21 @@ def connected_components_contraction(
     und_for_nodes = E.select(F.col("u").alias("n")).union(E.select(F.col("v").alias("n")))
     node_ids = _all_nodes(und_for_nodes, nodes)
 
+    def _edge_sig(e: DataFrame):
+        """Order-insensitive signature of a canonical edge set: one
+        partial-aggregate scan over checkpointed blocks, NO shuffle — the
+        cheap per-round convergence probe (count + xor + exact decimal sum
+        of row hashes, the same commutative construction as the lineage
+        manifests in ``io/checkpoint.py``)."""
+        h = F.xxhash64("u", "v")
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(h).alias("x"),
+            F.sum(h.cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (r["n"], (r["x"] or 0) & 0xFFFFFFFFFFFFFFFF, int(r["s"] or 0) % (1 << 64))
+
+    sig = _edge_sig(E)
     for _ in range(max_iter):
         # large-star: for each u, m = min(Γ(u) ∪ {u}); emit (v, m) for
         # every neighbor v > u
@@ -163,7 +184,11 @@ def connected_components_contraction(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("lsm").alias("v"))
         )
-        E1 = _canon(large).localCheckpoint(eager=True)
+        # persist (lazy) instead of an eager checkpoint: E1 derives from
+        # the checkpointed E, so its lineage is one round deep — the E2
+        # checkpoint below materializes it once and both E1 consumers reuse
+        # the cached blocks. Saves one Spark job per round.
+        E1 = _canon(large).persist()
 
         # small-star: edges already hi→lo; for each u, m = min of its
         # smaller neighbors; emit (v, m) for each smaller neighbor v and
@@ -175,15 +200,23 @@ def connected_components_contraction(
             .union(mins2.select(F.col("u"), F.col("ssm").alias("v")))
         )
         E2 = _canon(small).localCheckpoint(eager=True)
+        E1.unpersist()
 
-        diff = E2.subtract(E).union(E.subtract(E2)).limit(1).count()
-        E = E2
-        if diff == 0:
+        # convergence: compare this round's signature with the carried-
+        # forward one (no rescan of E); only on a signature MATCH run the
+        # exact symmetric-difference check — signatures collide essentially
+        # never, so the shuffle-heavy subtract runs once, at the fixpoint.
+        sig2 = _edge_sig(E2)
+        if sig2 == sig and (
+            E2.subtract(E).union(E.subtract(E2)).limit(1).count() == 0
+        ):
+            E = E2
             labels = E.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
             return (
                 node_ids.join(labels, "node", "left")
                 .select("node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id"))
             )
+        E, sig = E2, sig2
     raise RuntimeError(
         f"connected_components_contraction did not converge in {max_iter} "
         "rounds — input ids are likely malformed (NaN/null)"

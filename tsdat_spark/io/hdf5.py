@@ -447,6 +447,10 @@ def _apply_filters(raw, filters, elem_size):
             raw = arr.reshape(ts, n).T.tobytes() + raw[n * ts :]
         elif fid == 3:
             raw = raw[:-4]  # fletcher32: strip trailing checksum
+        elif fid == 32015:  # registered zstd filter (HDF5 plugin id)
+            from ..compress.zstd import zstd_decompress
+
+            raw = zstd_decompress(raw)
         else:
             raise Hdf5Boundary(f"HDF5 filter id {fid}")
     return raw

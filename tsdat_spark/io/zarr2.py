@@ -8,13 +8,14 @@ shape here, so every consumer — incl. the chunk-grid-parallel Spark scan —
 is version-agnostic. No zarr package is needed for the subset an engine
 store uses:
 
-- codecs: raw (``compressor: null``), ``zlib``, ``gzip`` (stdlib), and
-  ``blosc`` (the zarr-python default, used by the reference's test
+- codecs: raw (``compressor: null``), ``zlib``, ``gzip`` (stdlib),
+  ``blosc`` (the zarr-python v2 default, used by the reference's test
   fixture) via the from-spec pure-Python container codec in
-  ``compress/bloscc.py`` (lz4 + byte-shuffle; zstd/bitshuffle remain a
-  documented boundary).
-- v3 codec chains: ``bytes`` (little-endian) + ``gzip``/``blosc``/
-  ``crc32c`` (zstd raises a named boundary); regular chunk grids, default
+  ``compress/bloscc.py`` (lz4 + byte-shuffle), and ``zstd`` (read-only,
+  from-spec RFC 8878 decoder in ``compress/zstd.py``; bitshuffle remains
+  a documented boundary).
+- v3 codec chains: ``bytes`` (little-endian) + ``gzip``/``zstd``/
+  ``blosc``/``crc32c`` (verified); regular chunk grids, default
   and v2 chunk-key encodings.
 - arrays: 1-D over a shared dimension (the engine's relational shape),
   numeric + fixed-width unicode, uniform chunks (last may be partial) —
@@ -60,9 +61,13 @@ def _decompress(raw: bytes, compressor: dict | None) -> bytes:
         from ..compress.bloscc import blosc_decompress
 
         return blosc_decompress(raw)
+    if cid == "zstd":
+        from ..compress.zstd import zstd_decompress
+
+        return zstd_decompress(raw)
     raise ValueError(
         f"unsupported zarr compressor {cid!r}: raw/zlib/gzip/blosc "
-        "(lz4, byte-shuffle) are supported; zstd/bitshuffle are the "
+        "(lz4, byte-shuffle)/zstd are supported; bitshuffle is the "
         "remaining documented boundary"
     )
 
@@ -130,12 +135,14 @@ def _normalize_v3_meta(meta: dict, array_dir: str) -> tuple[dict, dict]:
                 raise ValueError("big-endian v3 bytes codec unsupported")
         elif c.get("name") not in ("gzip", "zstd", "blosc", "crc32c"):
             raise ValueError(f"unsupported v3 codec {c.get('name')!r}")
-        elif c.get("name") == "zstd":
-            raise ValueError("zstd v3 codec unsupported (documented boundary)")
+    fv = meta.get("fill_value")
+    if isinstance(fv, str):  # v3 encodes non-finite floats as JSON strings
+        fv = {"NaN": float("nan"), "Infinity": float("inf"),
+              "-Infinity": float("-inf")}.get(fv, fv)
     norm = {
         "zarr_format": 3, "shape": meta["shape"],
         "chunks": grid["configuration"]["chunk_shape"], "dtype": dt,
-        "fill_value": meta.get("fill_value"),
+        "fill_value": fv,
         "v3_codecs": codecs, "v3_key_fmt": key_fmt,
     }
     return norm, dict(meta.get("attributes") or {})
@@ -151,6 +158,10 @@ def _decompress_v3(raw: bytes, codecs: list) -> bytes:
             import gzip as _gzip
 
             raw = _gzip.decompress(raw)
+        elif name == "zstd":
+            from ..compress.zstd import zstd_decompress
+
+            raw = zstd_decompress(raw)
         elif name == "crc32c":
             from ..compress.crc32c import crc32c
 
@@ -311,22 +322,54 @@ class ZarrDatasetWriter:
     def __init__(self, chunk_rows: int = 100_000, order_by: list[str] | None = None,
                  attrs: dict | None = None, var_attrs: dict | None = None,
                  compressor: dict | None = {"id": "zlib", "level": 6},
-                 dim: str = "time"):
+                 dim: str = "time", zarr_format: int = 2, checksum: bool = False):
+        if zarr_format not in (2, 3):
+            raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
         self.chunk_rows = chunk_rows
         self.order_by = list(order_by or [])
         self.attrs = dict(attrs or {})
         self.var_attrs = {k: dict(v) for k, v in (var_attrs or {}).items()}
         self.compressor = compressor
         self.dim = dim
+        self.zarr_format = zarr_format
+        self.checksum = bool(checksum)  # v3 only: append a crc32c codec
+
+    def _v3_codecs(self) -> list[dict]:
+        """self.compressor → a v3 codec chain (bytes + optional compressor
+        + optional crc32c). v2 'zlib' maps to the v3 'gzip' codec — v3 has
+        no zlib codec, so the chunk bytes are gzip-framed in v3 mode."""
+        chain = [{"name": "bytes", "configuration": {"endian": "little"}}]
+        comp = self.compressor
+        if comp is not None:
+            cid = comp.get("id")
+            if cid in ("zlib", "gzip"):
+                chain.append({"name": "gzip",
+                              "configuration": {"level": comp.get("level", 6)}})
+            elif cid == "blosc":
+                chain.append({"name": "blosc", "configuration": {
+                    "cname": comp.get("cname", "lz4"),
+                    "shuffle": "shuffle" if comp.get("shuffle", 1) else "noshuffle",
+                    "typesize": 8}})
+            else:
+                raise ValueError(f"unsupported v3 write compressor {cid!r}")
+        if self.checksum:
+            chain.append({"name": "crc32c", "configuration": {}})
+        return chain
 
     def write(self, df: DataFrame, path: str) -> None:
         import pandas as pd
 
+        v3 = self.zarr_format == 3
         fs = get_filesystem(path)
         fs.makedirs(path)
-        fs.write_text(os.path.join(path, ".zgroup"), json.dumps({"zarr_format": 2}))
-        if self.attrs:
-            fs.write_text(os.path.join(path, ".zattrs"), json.dumps(self.attrs))
+        if v3:
+            fs.write_text(os.path.join(path, "zarr.json"), json.dumps(
+                {"zarr_format": 3, "node_type": "group",
+                 "attributes": self.attrs}))
+        else:
+            fs.write_text(os.path.join(path, ".zgroup"), json.dumps({"zarr_format": 2}))
+            if self.attrs:
+                fs.write_text(os.path.join(path, ".zattrs"), json.dumps(self.attrs))
 
         ordered = df.orderBy(*self.order_by) if self.order_by else df
         fields = [(fld.name, fld.dataType.simpleString()) for fld in df.schema.fields]
@@ -351,7 +394,13 @@ class ZarrDatasetWriter:
             widths = {c: max(1, int(row[f"w_{c}"] or 1)) for c in str_cols}
             nullable_ints = {c for c in int_cols if row[f"n_{c}"]}
 
-        # .zarray + .zattrs per column (driver-side, tiny)
+        # array metadata per column (driver-side, tiny)
+        if v3 and any(t == "string" for _, t in fields):
+            raise NotImplementedError(
+                "zarr v3 write does not support string columns (v3 has no "
+                "fixed-unicode data type; the provisional variable-length "
+                "'string' type is a documented boundary) — use zarr_format=2"
+            )
         for name, typ in fields:
             adir = os.path.join(path, name)
             fs.makedirs(adir)
@@ -367,13 +416,29 @@ class ZarrDatasetWriter:
                 dtype, extra = f"<U{widths.get(name, 1)}", {}
             else:
                 dtype, extra = "<f8", {}
-            fs.write_text(os.path.join(adir, ".zarray"), json.dumps(
-                {"zarr_format": 2, "shape": [total], "chunks": [cw],
-                 "dtype": dtype, "compressor": comp, "fill_value": None,
-                 "filters": None, "order": "C"}))
-            fs.write_text(os.path.join(adir, ".zattrs"), json.dumps(
-                {"_ARRAY_DIMENSIONS": [dim],
-                 **extra, **self.var_attrs.get(name, {})}))
+            if v3:
+                fs.makedirs(os.path.join(adir, "c"))
+                fs.write_text(os.path.join(adir, "zarr.json"), json.dumps(
+                    {"zarr_format": 3, "node_type": "array",
+                     "shape": [total],
+                     "data_type": "int64" if dtype == "<i8" else "float64",
+                     "chunk_grid": {"name": "regular",
+                                    "configuration": {"chunk_shape": [cw]}},
+                     "chunk_key_encoding": {"name": "default",
+                                            "configuration": {"separator": "/"}},
+                     "fill_value": 0 if dtype == "<i8" else 0.0,
+                     "codecs": self._v3_codecs(),
+                     "dimension_names": [dim],
+                     "attributes": {"_ARRAY_DIMENSIONS": [dim],
+                                    **extra, **self.var_attrs.get(name, {})}}))
+            else:
+                fs.write_text(os.path.join(adir, ".zarray"), json.dumps(
+                    {"zarr_format": 2, "shape": [total], "chunks": [cw],
+                     "dtype": dtype, "compressor": comp, "fill_value": None,
+                     "filters": None, "order": "C"}))
+                fs.write_text(os.path.join(adir, ".zattrs"), json.dumps(
+                    {"_ARRAY_DIMENSIONS": [dim],
+                     **extra, **self.var_attrs.get(name, {})}))
         if total == 0:
             return
 
@@ -388,6 +453,10 @@ class ZarrDatasetWriter:
         field_types = dict(fields)
         widths_b = dict(widths)
         nullable_b = set(nullable_ints)
+        # v3 frames zlib-compressed chunks as the gzip codec (no zlib in v3)
+        comp_eff = ({**comp, "id": "gzip"}
+                    if v3 and comp and comp.get("id") == "zlib" else comp)
+        v3_b, checksum_b = v3, self.checksum
 
         def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("__idx", ignore_index=True)
@@ -409,13 +478,17 @@ class ZarrDatasetWriter:
                     pad = np.zeros(cw - len(arr), dtype=arr.dtype)
                     arr = np.concatenate([arr, pad])
                 arr = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
+                payload = _compress(arr.tobytes(), comp_eff, arr.dtype.itemsize)
+                if v3_b and checksum_b:
+                    from ..compress.crc32c import crc32c
+
+                    payload += crc32c(payload).to_bytes(4, "little")
+                key = (os.path.join(path, name, "c", str(ci)) if v3_b
+                       else os.path.join(path, name, str(ci)))
                 # fs is the DRIVER-resolved filesystem, pickled into the
                 # task — deployments only need register_filesystem() on the
                 # driver (same contract as fs.write_binary_parts)
-                fs.write_bytes(
-                    os.path.join(path, name, str(ci)),
-                    _compress(arr.tobytes(), comp, arr.dtype.itemsize),
-                )
+                fs.write_bytes(key, payload)
             return pd.DataFrame({"chunk": [ci], "rows": [len(pdf)]})
 
         # NB: count() is the action that runs the chunk-writing job — it must
