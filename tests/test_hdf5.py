@@ -140,6 +140,62 @@ def test_writer_spark_partitioned_parts_scan_back(spark, tmp_path):
     assert back[-1]["v"] == 4999 * 0.25
 
 
+def test_dense_links_and_attrs_roundtrip():
+    """Dense (fractal-heap + v2-B-tree) link AND attribute storage — the
+    'new style' group shape netcdf-c emits past 8 links with non-default
+    settings. The writer builds FRHP/FHDB/BTHD/BTLF per spec (lookup3
+    checksums and name hashes); the reader walks the name-index B-tree and
+    resolves managed heap IDs. Closes the round-4 boundary at the old
+    io/hdf5.py:12-15."""
+    cols = {"time": np.arange(30, dtype="<f8")}
+    for i in range(12):  # past the 8-link compact threshold
+        cols[f"var_{i:02d}"] = np.arange(30, dtype="<f8") * (i + 1)
+    blob = write_hdf5(
+        cols, dim="time",
+        global_attrs={"title": "dense fixture", "n_vars": 12},
+        var_attrs={"var_05": {"units": "K", "scale": 2.0}},
+        dense_links=True, dense_attrs=True,
+    )
+    dims, gattrs, vs = read_hdf5(blob)
+    assert dims == {"time": 30}
+    assert gattrs == {"title": "dense fixture", "n_vars": 12}
+    assert sorted(vs) == ["time"] + [f"var_{i:02d}" for i in range(12)]
+    for i in range(12):
+        assert np.array_equal(vs[f"var_{i:02d}"]["array"],
+                              np.arange(30) * float(i + 1))
+        assert vs[f"var_{i:02d}"]["dims"] == ["time"]
+    assert vs["var_05"]["attrs"] == {"units": "K", "scale": 2.0}
+
+    # dense links with compact root attrs (the independent switch)
+    _, g2, v2 = read_hdf5(write_hdf5(cols, dim="time",
+                                     global_attrs={"t": "x"},
+                                     dense_links=True))
+    assert g2 == {"t": "x"} and len(v2) == 13
+
+
+def test_dense_links_chunked_storage_roundtrip():
+    """Dense group whose members use chunked shuffle+deflate storage —
+    dense traversal composes with the filtered read path."""
+    n = 1000
+    cols = {"time": np.arange(n, dtype="<i8"),
+            "a": np.sin(np.arange(n) * 0.1),
+            "b": np.arange(n, dtype="<i8") * 3}
+    blob = write_hdf5(cols, dim="time", chunk_rows=256, dense_links=True)
+    _, _, vs = read_hdf5(blob)
+    assert np.allclose(vs["a"]["array"], np.sin(np.arange(n) * 0.1))
+    assert np.array_equal(vs["b"]["array"], np.arange(n) * 3)
+
+
+def test_lookup3_reference_vectors():
+    """Jenkins lookup3 (HDF5's checksum + dense name hash) against the
+    published self-test vectors from lookup3.c."""
+    from tsdat_spark.io.hdf5_write import _lookup3
+
+    assert _lookup3(b"", 0) == 0xDEADBEEF
+    assert _lookup3(b"Four score and seven years ago", 0) == 0x17770551
+    assert _lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+
+
 def test_boundaries_raise_named():
     with pytest.raises(ValueError, match="not an HDF5 file"):
         read_hdf5(b"\x00" * 64)

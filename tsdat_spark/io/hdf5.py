@@ -8,16 +8,19 @@ latest/_f_m_t3.html) that NetCDF-4 writers actually produce:
 
 - superblock v0/v2/v3
 - object headers v1 and v2 (``OHDR``/``OCHK``), message continuation
-- groups as v1 symbol tables (``TREE``/``HEAP``/``SNOD``) and as v2
-  compact Link messages; dense (fractal-heap) link storage raises a
-  named boundary (netcdf-c only goes dense past 8 links per group with
-  non-default settings)
+- groups as v1 symbol tables (``TREE``/``HEAP``/``SNOD``), v2 compact
+  Link messages, AND dense storage (fractal heap ``FRHP``/``FHDB``/
+  ``FHIB`` + v2 B-tree ``BTHD``/``BTLF``/``BTIN`` name index, depth ≤ 1)
+  for both links and attributes — the 'new style' shape netcdf-c emits
+  past 8 links per group; huge/tiny heap objects, filtered heaps, and
+  deeper B-trees raise named boundaries
 - dataspace v1/v2; datatypes: fixed-point, IEEE float, fixed string,
   object reference, VLEN (string and reference sequence)
 - data layouts: compact, contiguous, v3 chunked (B-tree v1) and v4
   chunked (single-chunk and implicit index)
 - filter pipeline v1/v2: deflate (stdlib zlib), shuffle, fletcher32
-  (checksum stripped); other filters raise with the filter id
+  (checksum stripped), zstd (filter 32015, from-spec ``compress/zstd``);
+  other filters raise with the filter id
 - global heap (``GCOL``) for VLEN attribute/dataset payloads
 
 The result shape matches ``netcdf3.read_netcdf3``: (dims, global_attrs,
@@ -382,6 +385,120 @@ def _parse_link(data, off):
     return name, None  # soft/external links ignored
 
 
+# -- fractal heap + v2 B-tree (dense link/attribute storage) ----------------
+
+
+def _fractal_heap_resolver(data, addr):
+    """Parse a fractal heap header (``FRHP``) → (resolve, heap_id_len)
+    where ``resolve(heap_id) -> absolute file offset`` of a managed
+    object. Supports a root direct block and a root indirect block with
+    DIRECT children (the shapes group/attribute heaps actually take);
+    huge/tiny objects, I/O-filtered heaps, and indirect-child recursion
+    raise the named boundary."""
+    if data[addr : addr + 4] != b"FRHP":
+        raise ValueError(f"expected FRHP at {addr}")
+    heap_id_len = struct.unpack_from("<H", data, addr + 5)[0]
+    filt_len = struct.unpack_from("<H", data, addr + 7)[0]
+    if filt_len:
+        raise Hdf5Boundary("I/O-filtered fractal heap")
+    flags = data[addr + 9]
+    n_huge = _u(data, addr + 86, 8)
+    n_tiny = _u(data, addr + 102, 8)
+    if n_huge or n_tiny:
+        raise Hdf5Boundary("huge/tiny fractal-heap objects")
+    width = struct.unpack_from("<H", data, addr + 110)[0]
+    start_size = _u(data, addr + 112, 8)
+    max_direct = _u(data, addr + 120, 8)
+    max_heap_bits = struct.unpack_from("<H", data, addr + 128)[0]
+    root_addr = _u(data, addr + 132, 8)
+    cur_rows = struct.unpack_from("<H", data, addr + 140)[0]
+    off_bytes = (max_heap_bits + 7) // 8
+    dblk_hdr = 4 + 1 + 8 + off_bytes + (4 if flags & 0x2 else 0)
+
+    # (heap_space_offset, file_addr, size) per direct block
+    blocks = []
+    if cur_rows == 0:  # root IS a direct block of the starting size
+        blocks.append((0, root_addr, start_size))
+    else:
+        if data[root_addr : root_addr + 4] != b"FHIB":
+            raise ValueError(f"expected FHIB at {root_addr}")
+        max_direct_rows = (max_direct.bit_length() - start_size.bit_length()) + 2
+        p = root_addr + 4 + 1 + 8 + off_bytes
+        hoff = 0
+        for row in range(cur_rows):
+            if row >= max_direct_rows:
+                raise Hdf5Boundary("fractal heap with indirect child blocks")
+            rsize = start_size if row < 2 else start_size << (row - 1)
+            for _ in range(width):
+                child = _u(data, p, 8)
+                p += 8
+                if child != _UNDEF:
+                    blocks.append((hoff, child, rsize))
+                hoff += rsize
+    def resolve(heap_id: bytes) -> tuple[int, int]:
+        b0 = heap_id[0]
+        if (b0 >> 6) != 0 or ((b0 >> 4) & 0x3) != 0:
+            raise Hdf5Boundary(f"non-managed fractal-heap ID type {b0:#04x}")
+        off = int.from_bytes(heap_id[1 : 1 + off_bytes], "little")
+        length = int.from_bytes(heap_id[1 + off_bytes :], "little")
+        for hoff, faddr, size in blocks:
+            if hoff <= off < hoff + size:
+                return faddr + (off - hoff), length
+        raise ValueError(f"fractal-heap offset {off} outside managed blocks")
+
+    # sanity: direct blocks carry their own signature
+    for _, faddr, _ in blocks:
+        if data[faddr : faddr + 4] != b"FHDB":
+            raise ValueError(f"expected FHDB at {faddr}")
+    _ = dblk_hdr  # objects are addressed absolutely; header size implicit
+    return resolve, heap_id_len
+
+
+def _btree_v2_records(data, addr):
+    """Iterate raw records of a v2 B-tree (``BTHD``). Depth 0 and 1
+    supported (leaf and one internal level) — beyond raises."""
+    if data[addr : addr + 4] != b"BTHD":
+        raise ValueError(f"expected BTHD at {addr}")
+    node_size = struct.unpack_from("<I", data, addr + 6)[0]
+    rec_size = struct.unpack_from("<H", data, addr + 10)[0]
+    depth = struct.unpack_from("<H", data, addr + 12)[0]
+    root = _u(data, addr + 16, 8)
+    root_nrec = struct.unpack_from("<H", data, addr + 24)[0]
+
+    def leaf(at, nrec):
+        if data[at : at + 4] != b"BTLF":
+            raise ValueError(f"expected BTLF at {at}")
+        p = at + 6
+        for _ in range(nrec):
+            yield data[p : p + rec_size]
+            p += rec_size
+
+    if depth == 0:
+        yield from leaf(root, root_nrec)
+        return
+    if depth > 1:
+        raise Hdf5Boundary(f"v2 B-tree depth {depth}")
+    # one internal level: records then child pointers (addr + nrec field)
+    if data[root : root + 4] != b"BTIN":
+        raise ValueError(f"expected BTIN at {root}")
+    max_leaf_rec = (node_size - 10) // rec_size
+    nrec_field = (max_leaf_rec.bit_length() + 7) // 8
+    p = root + 6 + root_nrec * rec_size
+    children = []
+    for _ in range(root_nrec + 1):
+        caddr = _u(data, p, 8)
+        p += 8
+        cnrec = _u(data, p, nrec_field)
+        p += nrec_field
+        children.append((caddr, cnrec))
+    rp = root + 6
+    for i, (caddr, cnrec) in enumerate(children):
+        yield from leaf(caddr, cnrec)
+        if i < root_nrec:
+            yield data[rp : rp + rec_size]
+            rp += rec_size
+
+
 # -- group traversal --------------------------------------------------------
 
 
@@ -427,9 +544,18 @@ def _collect_links(data, addr):
                 out.append((name, target))
         elif mtype == 0x02:  # link info
             lflags = data[moff + 1]
-            fheap = _u(data, moff + 2 + (8 if lflags & 0x1 else 0), 8)
+            p = moff + 2 + (8 if lflags & 0x1 else 0)
+            fheap = _u(data, p, 8)
             if fheap != _UNDEF:
-                raise Hdf5Boundary("dense (fractal-heap) group links")
+                # dense links: v2-B-tree name index → fractal-heap link msgs
+                btree = _u(data, p + 8, 8)
+                resolve, hid_len = _fractal_heap_resolver(data, fheap)
+                for rec in _btree_v2_records(data, btree):
+                    # type-5 record: name hash (4) + heap ID (hid_len)
+                    obj_at, _ln = resolve(rec[4 : 4 + hid_len])
+                    name, target = _parse_link(data, obj_at)
+                    if target is not None:
+                        out.append((name, target))
     return out
 
 
@@ -598,11 +724,19 @@ def _parse_object(data, addr, name):
         elif mtype == 0x0C:
             aname, aval = _parse_attribute(data, moff)
             attrs[aname] = aval
-        elif mtype == 0x15:  # attribute info: dense attrs unsupported
+        elif mtype == 0x15:  # attribute info (dense attribute storage)
             aflags = data[moff + 1]
-            fheap = _u(data, moff + 2 + (2 if aflags & 0x1 else 0), 8)
+            p = moff + 2 + (2 if aflags & 0x1 else 0)
+            fheap = _u(data, p, 8)
             if fheap != _UNDEF:
-                raise Hdf5Boundary("dense attribute storage")
+                btree = _u(data, p + 8, 8)
+                resolve, hid_len = _fractal_heap_resolver(data, fheap)
+                for rec in _btree_v2_records(data, btree):
+                    # type-8 record: heap ID (hid_len) + flags(1) + corder(4)
+                    # + name hash (4); the heap object is an attribute msg
+                    obj_at, _ln = resolve(rec[:hid_len])
+                    aname, aval = _parse_attribute(data, obj_at)
+                    attrs[aname] = aval
     if layout is not None and dt is not None:
         return _Dataset(name, dims or (), dt, layout, filters, attrs, fillvalue, addr), attrs
     return None, attrs

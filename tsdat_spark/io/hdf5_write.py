@@ -2,7 +2,10 @@
 
 Emits the complementary v1 profile to the fixture-covered v2 read path
 (``io/hdf5.py``): superblock v0, v1 object headers, v1 symbol-table
-groups (``TREE``/``HEAP``/``SNOD``), layouts contiguous and v3 chunked
+groups (``TREE``/``HEAP``/``SNOD``) — or, with ``dense_links=True``/
+``dense_attrs=True``, 'new style' DENSE storage (fractal heap + v2
+B-tree name index with real lookup3 checksums and name hashes, the shape
+netcdf-c produces past 8 links) — layouts contiguous and v3 chunked
 (B-tree v1) with shuffle+deflate, fixed-string/numeric attributes, and
 the netCDF-4 dimension-scale convention (``CLASS``/``NAME`` on the
 coordinate variable, ``DIMENSION_LIST`` as VLEN object references through
@@ -32,6 +35,114 @@ _UNDEF8 = b"\xff" * 8
 
 def _pad8(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 8)
+
+
+def _lookup3(data: bytes, init: int = 0) -> int:
+    """Bob Jenkins' lookup3 (hashlittle) — HDF5's metadata checksum AND its
+    dense-storage name hash (H5_checksum_lookup3)."""
+    M = 0xFFFFFFFF
+
+    def rot(x, k):
+        return ((x << k) | (x >> (32 - k))) & M
+
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + init) & M
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & M
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & M
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & M
+        a = (a - c) & M; a ^= rot(c, 4); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 6); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 8); b = (b + a) & M
+        a = (a - c) & M; a ^= rot(c, 16); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 19); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 4); b = (b + a) & M
+        i += 12
+        length -= 12
+    if length == 0:
+        return c
+    tail = data[i:] + b"\x00" * (12 - length)
+    a = (a + int.from_bytes(tail[0:4], "little")) & M
+    b = (b + int.from_bytes(tail[4:8], "little")) & M
+    c = (c + int.from_bytes(tail[8:12], "little")) & M
+    c ^= b; c = (c - rot(b, 14)) & M
+    a ^= c; a = (a - rot(c, 11)) & M
+    b ^= a; b = (b - rot(a, 25)) & M
+    c ^= b; c = (c - rot(b, 16)) & M
+    a ^= c; a = (a - rot(c, 4)) & M
+    b ^= a; b = (b - rot(a, 14)) & M
+    c ^= b; c = (c - rot(b, 24)) & M
+    return c
+
+
+# -- dense storage builders (fractal heap + v2 B-tree) ----------------------
+
+_FRHP_SIZE = 146
+_BTHD_SIZE = 38
+
+
+def _fractal_heap_blob(objects: list[bytes], frhp_at: int, heap_id_len: int):
+    """One FRHP header + one root direct block holding ``objects``.
+    Returns (frhp_bytes, dblock_bytes, heap_ids) with the direct block laid
+    immediately after the header. heap_id_len 7 → links (4-byte offset,
+    2-byte length); 8 → attributes (3-byte length)."""
+    off_bytes, len_bytes = 4, heap_id_len - 1 - 4
+    dblk_at = frhp_at + _FRHP_SIZE
+    hdr = 4 + 1 + 8 + off_bytes  # FHDB header (no direct-block checksums)
+    dblock_size = 512
+    while dblock_size < hdr + sum(len(o) for o in objects):
+        dblock_size *= 2
+    if dblock_size > 65536:
+        raise ValueError("dense storage objects exceed one 64 KiB direct block")
+    dblk = bytearray(b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", frhp_at)
+                     + (0).to_bytes(off_bytes, "little"))
+    heap_ids = []
+    max_obj = 1
+    for o in objects:
+        off_in_heap = len(dblk)
+        dblk += o
+        heap_ids.append(bytes([0]) + off_in_heap.to_bytes(off_bytes, "little")
+                        + len(o).to_bytes(len_bytes, "little"))
+        max_obj = max(max_obj, len(o))
+    free = dblock_size - len(dblk)
+    dblk += b"\x00" * free
+    frhp = bytearray(b"FRHP")
+    frhp += struct.pack("<BHHBI", 0, heap_id_len, 0, 0, max_obj)
+    frhp += struct.pack("<Q", 0)            # next huge id
+    frhp += _UNDEF8                          # huge-object B-tree
+    frhp += struct.pack("<Q", free)          # free space
+    frhp += _UNDEF8                          # free-space manager
+    frhp += struct.pack("<QQQQ", dblock_size, dblock_size, dblock_size,
+                        len(objects))        # managed/alloc/iter/#managed
+    frhp += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+    frhp += struct.pack("<HQQHH", 4, dblock_size, 65536, 32, 1)
+    frhp += struct.pack("<Q", dblk_at)       # root block = the direct block
+    frhp += struct.pack("<H", 0)             # current rows: 0 → root direct
+    frhp += struct.pack("<I", _lookup3(bytes(frhp)))
+    assert len(frhp) == _FRHP_SIZE
+    return bytes(frhp), bytes(dblk), heap_ids
+
+
+def _btree_v2_blob(records: list[bytes], rec_size: int, btype: int,
+                   bthd_at: int):
+    """Depth-0 v2 B-tree: BTHD header + one BTLF leaf right after it.
+    ``records`` must already be hash-ordered."""
+    btlf_at = bthd_at + _BTHD_SIZE
+    leaf = bytearray(b"BTLF" + struct.pack("<BB", 0, btype))
+    for r in records:
+        assert len(r) == rec_size
+        leaf += r
+    leaf += struct.pack("<I", _lookup3(bytes(leaf)))
+    node_size = 512
+    while node_size < len(leaf):
+        node_size *= 2
+    hdr = bytearray(b"BTHD")
+    hdr += struct.pack("<BBIHHBBQHQ", 0, btype, node_size, rec_size, 0,
+                       100, 40, btlf_at, len(records), len(records))
+    hdr += struct.pack("<I", _lookup3(bytes(hdr)))
+    assert len(hdr) == _BTHD_SIZE
+    return bytes(hdr), bytes(leaf)
 
 
 def _msg(mtype: int, body: bytes) -> bytes:
@@ -107,6 +218,8 @@ def write_hdf5(
     var_attrs: dict | None = None,
     chunk_rows: int | None = None,
     compress_level: int = 4,
+    dense_links: bool = False,
+    dense_attrs: bool = False,
 ) -> bytes:
     """Serialize aligned 1-D columns into one HDF5/NetCDF-4-style file.
 
@@ -149,29 +262,72 @@ def write_hdf5(
         prepared[name] = (kind, a)
 
     # ---- plan the file layout (sizes first, then addresses) ---------------
-    # heap: 8 reserved bytes, then each name nul-terminated, padded to 8
-    heap_offsets, hoff = {}, 8
-    for name in names:
-        heap_offsets[name] = hoff
-        hoff += len(_pad8(name.encode() + b"\x00"))
-    heap_data_size = hoff
+    if dense_links:
+        # dense root group: link messages live in a fractal heap indexed by
+        # a v2 B-tree; the root header carries a Link Info message instead
+        # of the v1 symbol-table message. Sizes are address-independent
+        # (each link msg = 2 + 1 + len(name) + 8 bytes), so the heap/btree
+        # region is laid out BEFORE dataset addresses exist and rendered
+        # after they do.
+        link_sizes = {nm: 2 + 1 + len(nm.encode()) + 8 for nm in names}
+        hdr17 = 4 + 1 + 8 + 4
+        dblock_size_l = 512
+        while dblock_size_l < hdr17 + sum(link_sizes.values()):
+            dblock_size_l *= 2
+        off_frhp_l = 96
+        off_bthd_l = off_frhp_l + _FRHP_SIZE + dblock_size_l
+        btlf_size_l = 6 + 11 * len(names) + 4
+        cursor0 = off_bthd_l + _BTHD_SIZE + btlf_size_l
+        root_msgs = [_msg(0x02, struct.pack("<BBQQ", 0, 0, off_frhp_l, off_bthd_l))]
+        if dense_attrs:
+            attr_objs = []
+            for k, v in global_attrs.items():
+                dt, ds, payload = _value_bytes(v)
+                nm = k.encode() + b"\x00"
+                head = struct.pack("<BxHHH", 1, len(nm), len(dt), len(ds))
+                attr_objs.append(head + _pad8(nm) + _pad8(dt) + _pad8(ds) + payload)
+            off_frhp_a = cursor0
+            hdr18 = 4 + 1 + 8 + 4
+            dblock_size_a = 512
+            while dblock_size_a < hdr18 + sum(len(o) for o in attr_objs):
+                dblock_size_a *= 2
+            off_bthd_a = off_frhp_a + _FRHP_SIZE + dblock_size_a
+            btlf_size_a = 6 + 17 * len(attr_objs) + 4
+            cursor0 = off_bthd_a + _BTHD_SIZE + btlf_size_a
+            root_msgs.append(_msg(0x15, struct.pack("<BBQQ", 0, 0,
+                                                    off_frhp_a, off_bthd_a)))
+        else:
+            for k, v in global_attrs.items():
+                dt, ds, payload = _value_bytes(v)
+                root_msgs.append(_attr(k, dt, ds, payload))
+        root_ohdr = _ohdr_v1(root_msgs)
+        off_root_ohdr = cursor0
+    else:
+        if dense_attrs:
+            raise ValueError("dense_attrs requires dense_links")
+        # heap: 8 reserved bytes, then each name nul-terminated, padded to 8
+        heap_offsets, hoff = {}, 8
+        for name in names:
+            heap_offsets[name] = hoff
+            hoff += len(_pad8(name.encode() + b"\x00"))
+        heap_data_size = hoff
 
-    n_per_snod = 8  # group leaf K = 4
-    snod_groups = [names[i : i + n_per_snod] for i in range(0, len(names), n_per_snod)]
-    btree_size = 24 + 8 * (2 * len(snod_groups) + 1)
-    snod_size = 8 + 40 * n_per_snod
+        n_per_snod = 8  # group leaf K = 4
+        snod_groups = [names[i : i + n_per_snod] for i in range(0, len(names), n_per_snod)]
+        btree_size = 24 + 8 * (2 * len(snod_groups) + 1)
+        snod_size = 8 + 40 * n_per_snod
 
-    off_heap_hdr = 96
-    off_heap_data = off_heap_hdr + 32
-    off_btree = off_heap_data + heap_data_size
-    off_snods = off_btree + btree_size
-    off_root_ohdr = off_snods + snod_size * len(snod_groups)
+        off_heap_hdr = 96
+        off_heap_data = off_heap_hdr + 32
+        off_btree = off_heap_data + heap_data_size
+        off_snods = off_btree + btree_size
+        off_root_ohdr = off_snods + snod_size * len(snod_groups)
 
-    root_msgs = [_msg(0x11, struct.pack("<QQ", off_btree, off_heap_hdr))]
-    for k, v in global_attrs.items():
-        dt, ds, payload = _value_bytes(v)
-        root_msgs.append(_attr(k, dt, ds, payload))
-    root_ohdr = _ohdr_v1(root_msgs)
+        root_msgs = [_msg(0x11, struct.pack("<QQ", off_btree, off_heap_hdr))]
+        for k, v in global_attrs.items():
+            dt, ds, payload = _value_bytes(v)
+            root_msgs.append(_attr(k, dt, ds, payload))
+        root_ohdr = _ohdr_v1(root_msgs)
 
     # ---- per-dataset: build messages with placeholder addresses, measure,
     # then assign data addresses and re-render -------------------------------
@@ -305,27 +461,59 @@ def write_hdf5(
     assert len(sb) == 96
     buf[0:96] = sb
 
-    heap_hdr = b"HEAP" + struct.pack("<B3xQQQ", 0, heap_data_size, 2**64 - 1 - 0, off_heap_data)
-    buf[off_heap_hdr : off_heap_hdr + 32] = heap_hdr[:32]
-    hdata = bytearray(b"\x00" * 8)
-    for name in names:
-        hdata += _pad8(name.encode() + b"\x00")
-    buf[off_heap_data : off_heap_data + heap_data_size] = hdata
+    if dense_links:
+        link_objs = [
+            struct.pack("<BBB", 1, 0, len(nm.encode())) + nm.encode()
+            + struct.pack("<Q", ds_addr[nm])
+            for nm in names
+        ]
+        frhp, dblk, hids = _fractal_heap_blob(link_objs, off_frhp_l, 7)
+        pairs = sorted(
+            (( _lookup3(nm.encode()), hid) for nm, hid in zip(names, hids)),
+            key=lambda t: t[0],
+        )
+        recs = [struct.pack("<I", h) + hid for h, hid in pairs]
+        bthd, btlf = _btree_v2_blob(recs, 11, 5, off_bthd_l)
+        for at, blob in ((off_frhp_l, frhp), (off_frhp_l + _FRHP_SIZE, dblk),
+                         (off_bthd_l, bthd), (off_bthd_l + _BTHD_SIZE, btlf)):
+            buf[at : at + len(blob)] = blob
+        if dense_attrs:
+            frhp_a, dblk_a, hids_a = _fractal_heap_blob(attr_objs, off_frhp_a, 8)
+            pairs_a = sorted(
+                ((_lookup3(k.encode()), i, hid)
+                 for i, (k, hid) in enumerate(zip(global_attrs, hids_a))),
+                key=lambda t: t[0],
+            )
+            recs_a = [hid + b"\x00" + struct.pack("<II", i, h)
+                      for h, i, hid in pairs_a]
+            bthd_a, btlf_a = _btree_v2_blob(recs_a, 17, 8, off_bthd_a)
+            for at, blob in ((off_frhp_a, frhp_a),
+                             (off_frhp_a + _FRHP_SIZE, dblk_a),
+                             (off_bthd_a, bthd_a),
+                             (off_bthd_a + _BTHD_SIZE, btlf_a)):
+                buf[at : at + len(blob)] = blob
+    else:
+        heap_hdr = b"HEAP" + struct.pack("<B3xQQQ", 0, heap_data_size, 2**64 - 1 - 0, off_heap_data)
+        buf[off_heap_hdr : off_heap_hdr + 32] = heap_hdr[:32]
+        hdata = bytearray(b"\x00" * 8)
+        for name in names:
+            hdata += _pad8(name.encode() + b"\x00")
+        buf[off_heap_data : off_heap_data + heap_data_size] = hdata
 
-    bt = bytearray(b"TREE" + struct.pack("<BBH", 0, 0, len(snod_groups)))
-    bt += _UNDEF8 + _UNDEF8
-    bt += struct.pack("<Q", 0)  # key 0: offset of "" (≤ everything)
-    for gi, group in enumerate(snod_groups):
-        bt += struct.pack("<Q", off_snods + gi * snod_size)
-        bt += struct.pack("<Q", heap_offsets[group[-1]])  # key: last name in child
-    buf[off_btree : off_btree + len(bt)] = bt
+        bt = bytearray(b"TREE" + struct.pack("<BBH", 0, 0, len(snod_groups)))
+        bt += _UNDEF8 + _UNDEF8
+        bt += struct.pack("<Q", 0)  # key 0: offset of "" (≤ everything)
+        for gi, group in enumerate(snod_groups):
+            bt += struct.pack("<Q", off_snods + gi * snod_size)
+            bt += struct.pack("<Q", heap_offsets[group[-1]])  # key: last name in child
+        buf[off_btree : off_btree + len(bt)] = bt
 
-    for gi, group in enumerate(snod_groups):
-        sn = bytearray(b"SNOD" + struct.pack("<BxH", 1, len(group)))
-        for name in group:
-            sn += struct.pack("<QQI4x16x", heap_offsets[name], ds_addr[name], 0)
-        sn += b"\x00" * (snod_size - len(sn))
-        buf[off_snods + gi * snod_size : off_snods + (gi + 1) * snod_size] = sn
+        for gi, group in enumerate(snod_groups):
+            sn = bytearray(b"SNOD" + struct.pack("<BxH", 1, len(group)))
+            for name in group:
+                sn += struct.pack("<QQI4x16x", heap_offsets[name], ds_addr[name], 0)
+            sn += b"\x00" * (snod_size - len(sn))
+            buf[off_snods + gi * snod_size : off_snods + (gi + 1) * snod_size] = sn
 
     for off, blob in renders:
         buf[off : off + len(blob)] = blob
