@@ -31,8 +31,13 @@ def test_ingest_e2e(raw, tmp_path):
                        ["ts"], handlers=[("record", "Bad")]),
     ]
     table = str(tmp_path / "std")
-    res = run_ingest(raw, spec, ctx, managers, dedup_keys=["conv_id", "turn_idx"], table_path=table)
+    plotted = []
+    res = run_ingest(raw, spec, ctx, managers, dedup_keys=["conv_id", "turn_idx"],
+                     table_path=table,
+                     hook_plot=lambda d: plotted.append(d.columns))
     assert res.qc_bits["text"][0].meaning == "missing_text"
+    # the plot hook observed the FINAL dataframe exactly once, post-storage
+    assert len(plotted) == 1 and "qc_text" in plotted[0]
     back = read_tier(raw.sparkSession, table)
     assert back.count() == res.df.count()
     assert "qc_text" in back.columns and "qc_ts" in back.columns

@@ -138,6 +138,57 @@ def test_ivf_search_partial_probe_recall(vecs):
     assert recall >= 0.35, recall
 
 
+def test_kmeans_centroids_deterministic_and_improve_recall(spark):
+    """Trained coarse quantizer (seeded fixed-iteration spherical k-means):
+    (a) two runs on the same table produce IDENTICAL centroids (no RNG, no
+    convergence test); (b) at sf0.1 and equal nprobe, recall@5 vs brute
+    force IMPROVES over the lowest-id init (measured sweep: 0.34 → 0.39 at
+    16 cells / nprobe 2 over 400 queries; every (cells, nprobe) combo
+    improved)."""
+    import numpy as np
+
+    from tsdat_spark.vector.ann import (
+        collect_centroids, ivf_search, kmeans_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    e.persist(); e.count()
+    try:
+        cK = kmeans_centroids(e, 16, n_iter=10)
+        assert cK == kmeans_centroids(e, 16, n_iter=10)  # deterministic
+
+        rows = e.collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        V = np.array([r["v"] for r in rows])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        qids = list(range(0, 400))
+        qidx = {int(i): k for k, i in enumerate(ids)}
+        exp = {}
+        for qid in qids:
+            cos = Vn @ Vn[qidx[qid]]
+            cos[qidx[qid]] = -2
+            exp[qid] = {int(t) for t in ids[np.argsort(-cos)[:5]]}
+        q = e.where(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+
+        def recall(cents):
+            got = {}
+            for r in ivf_search(e, q, cents, k=5, nprobe=2).collect():
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            tot = sum(len(exp[i]) for i in qids)
+            return sum(len(exp[i] & got.get(i, set())) for i in qids) / tot
+
+        r0 = recall(collect_centroids(e, 16))
+        rK = recall(cK)
+        assert rK > r0, (rK, r0)
+        assert rK >= 0.36, rK
+    finally:
+        e.unpersist()
+
+
 def test_ivf_assign_matmul_agrees_with_expression_path(vecs):
     """The GEMM escalation must produce the same assignments as the
     literal-expression path (cos may differ in the last ulp; centroid ids

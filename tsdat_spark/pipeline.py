@@ -68,12 +68,22 @@ def run_ingest(
     hook_customize: Callable[[DataFrame], DataFrame] | None = None,
     hook_finalize: Callable[[DataFrame], DataFrame] | None = None,
     writer: Callable[[DataFrame, str], None] | None = None,
+    hook_plot: Callable[[DataFrame], None] | None = None,
 ) -> IngestResult:
-    """standardize → customize hook → QC → finalize hook → (store).
+    """standardize → customize hook → QC → finalize hook → (store) → plot.
 
     ``writer``: optional storage sink ``(df, table_path) -> None`` (e.g.
     :class:`tsdat_spark.io.writers.CSVDatasetWriter`); default is the
-    date-partitioned tier write. Lineage manifests are emitted either way."""
+    date-partitioned tier write. Lineage manifests are emitted either way.
+
+    ``hook_plot``: side-effect-only observer invoked with the FINAL
+    DataFrame after storage — the ``hook_plot_dataset`` slot of the
+    reference lifecycle (``tsdat/pipeline/pipelines/ingest_pipeline.py:
+    51-87``, which renders matplotlib figures into
+    ``storage.uploadable_dir``). The engine ships no plotting (data
+    computation only); deployments hang dashboards/thumbnailers here.
+    Exceptions propagate — like tsdat, a failing plot hook fails the run
+    visibly rather than silently dropping the artifact."""
     df = standardize(raw, spec, dedup_keys=dedup_keys)
     # transcript enrichments only apply when the declared schema has the
     # transcript columns (yaml-configured datasets may not)
@@ -94,6 +104,8 @@ def run_ingest(
             write_tier(df, table_path, ts_col=spec.ts_col)
         manifests = partition_manifests(df, ts_col=spec.ts_col)
         write_manifests(table_path, manifests)
+    if hook_plot:
+        hook_plot(df)
     return IngestResult(df, bits, manifests)
 
 

@@ -84,6 +84,76 @@ def collect_centroids(df: DataFrame, n: int, id_col: str = "vec_id", vec_col: st
     return cents
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> list:
+    """Trained coarse quantizer: seeded fixed-iteration SPHERICAL k-means
+    (Lloyd's on the unit sphere — centroids are normalized means, matching
+    the cosine metric every consumer of the centroid list uses).
+
+    Deterministic by construction: init = the ``n`` lowest-id vectors
+    (exactly :func:`collect_centroids`, the oracle-replayable default),
+    then ``n_iter`` Lloyd rounds — no RNG, no convergence test, so two
+    runs on the same table produce identical centroids. Returns the same
+    ``[(centroid_id, vector)]`` shape as :func:`collect_centroids` with
+    ids 0..n-1, drop-in for :func:`ivf_assign` / :func:`ivf_search`.
+
+    Scale shape per round: assignment is the zero-shuffle GEMM map
+    (:func:`ivf_assign_matmul`'s kernel inlined), and the update is a
+    per-partition partial (sum-vector, count) reduce — partitions × n tiny
+    rows to the driver, never the vectors themselves. Empty cells keep
+    their previous centroid (the standard Lloyd fallback)."""
+    import pandas as pd
+
+    init = collect_centroids(df, n, id_col=id_col, vec_col=vec_col)
+    C = np.array([cv for _, cv in init], dtype="float64")
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    n_cells, dim = C.shape
+    src = df.select(vec_col)
+
+    schema = "cid long, cnt long, s binary"
+
+    for _ in range(n_iter):
+        Cn = C  # closure snapshot for this round
+
+        def partials(batches, Cn=Cn):
+            acc = np.zeros((n_cells, dim))
+            cnt = np.zeros(n_cells, dtype="int64")
+            for pdf in batches:
+                V = np.array(pdf[vec_col].tolist(), dtype="float64")
+                if not len(V):
+                    continue
+                nrm = np.linalg.norm(V, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                best = ((V / nrm) @ Cn.T).argmax(axis=1)
+                np.add.at(acc, best, V / nrm)
+                cnt += np.bincount(best, minlength=n_cells)
+            live = np.flatnonzero(cnt)
+            yield pd.DataFrame({
+                "cid": live,
+                "cnt": cnt[live],
+                "s": [acc[i].tobytes() for i in live],
+            })
+
+        rows = src.mapInPandas(partials, schema).collect()
+        sums = np.zeros((n_cells, dim))
+        counts = np.zeros(n_cells, dtype="int64")
+        for r in rows:
+            sums[r["cid"]] += np.frombuffer(r["s"], dtype="float64")
+            counts[r["cid"]] += r["cnt"]
+        live = counts > 0
+        means = sums[live] / counts[live, None]
+        norms = np.linalg.norm(means, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        C = C.copy()
+        C[live] = means / norms
+    return [(i, [float(x) for x in C[i]]) for i in range(n_cells)]
+
+
 def ivf_assign_expr(vec: Column, nrm: Column, centroids) -> Column:
     """Nearest-centroid assignment as a PURE MAP expression (no join, no
     shuffle): the centroid list is embedded as literal arrays and the
@@ -140,11 +210,23 @@ def ivf_assign(
     centroids,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    method: str = "auto",
 ) -> DataFrame:
     """IVF coarse quantization: one row per vector with its nearest
     centroid by cosine (ties → lowest centroid id). ``centroids`` is the
-    driver-side list from :func:`collect_centroids`. Map-only plan — see
-    :func:`ivf_assign_expr`. Output: (id_col, centroid_id, cos)."""
+    driver-side list from :func:`collect_centroids` or
+    :func:`kmeans_centroids`. Map-only plan — see :func:`ivf_assign_expr`.
+
+    ``method``: ``"expr"`` (literal-fold, bit-exact vs the SQL oracle),
+    ``"matmul"`` (one GEMM per Arrow batch), or ``"auto"`` (default):
+    expr up to 256 cells, matmul beyond — the measured crossover where the
+    per-row interpreted fold loses to the GEMM and the single literal SQL
+    expression (O(n_cells·dim) text) stops being free to analyze.
+    Output: (id_col, centroid_id, cos)."""
+    if method not in ("auto", "expr", "matmul"):
+        raise ValueError(f"unknown ivf_assign method {method!r}")
+    if method == "matmul" or (method == "auto" and len(centroids) > 256):
+        return ivf_assign_matmul(df, centroids, id_col=id_col, vec_col=vec_col)
     e = df.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__nrm"))
     b = ivf_assign_expr(F.col(vec_col), F.col("__nrm"), centroids)
     return e.select(
