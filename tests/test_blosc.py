@@ -316,6 +316,7 @@ def test_zarr_v3_write_roundtrip(spark, tmp_path, compressor, checksum):
         F.col("id").alias("i"),
         (F.col("id") % 13 * 0.5).alias("v"),
         F.timestamp_seconds(F.col("id") * 60 + 1700000000).alias("time"),
+        F.concat(F.lit("rôle_"), (F.col("id") % 7).cast("string")).alias("s"),
     )
     path = str(tmp_path / "w3.zarr")
     ZarrDatasetWriter(
@@ -332,22 +333,19 @@ def test_zarr_v3_write_roundtrip(spark, tmp_path, compressor, checksum):
     meta, attrs = read_zarr_meta(os.path.join(path, "i"))
     assert meta["zarr_format"] == 3 and attrs["_ARRAY_DIMENSIONS"] == ["i"]
 
+    # string column: zarr-python-3-style variable-length strings
+    # (data_type "string" + vlen-utf8 codec, non-ASCII included)
+    smeta, _ = read_zarr_meta(os.path.join(path, "s"))
+    assert smeta["dtype"] == "|O"
+    assert smeta["v3_codecs"][0]["name"] == "vlen-utf8"
+
     back = ZarrReader(dim="i").read(spark, path).orderBy("i").collect()
     assert len(back) == 2500
     assert back[100]["v"] == 100 % 13 * 0.5
+    assert back[100]["s"] == f"rôle_{100 % 7}"
+    assert back[2499]["s"] == f"rôle_{2499 % 7}"
     assert back[2499]["time"] == dt.datetime(1970, 1, 1) + dt.timedelta(
         seconds=2499 * 60 + 1700000000)
-
-
-def test_zarr_v3_write_string_boundary(spark, tmp_path):
-    from pyspark.sql import functions as F
-
-    from tsdat_spark.io.zarr2 import ZarrDatasetWriter
-
-    df = spark.range(3).select(F.col("id").alias("i"),
-                               F.lit("x").alias("s"))
-    with pytest.raises(NotImplementedError, match="string"):
-        ZarrDatasetWriter(zarr_format=3, dim="i").write(df, str(tmp_path / "s3.zarr"))
 
 
 def test_zarr_v3_boundaries(tmp_path):

@@ -112,6 +112,39 @@ def test_yaml_pipeline_e2e_csv_ingest(spark, tmp_path):
     assert back.count() == 5
 
 
+def test_yaml_pipeline_zarr3_storage_roundtrip(spark, tmp_path):
+    """zarr v3 as a yaml-selected storage format ('Zarr3Writer' classname →
+    zarr_format=3): the stored group round-trips through the engine's own
+    ZarrReader, string columns included (vlen-utf8)."""
+    csv_path = str(tmp_path / "transcripts_z3.csv")
+    _write_csv(csv_path)
+    spec = load_pipeline_yaml(
+        PIPELINE_YAML,
+        overrides={
+            "/storage/handler": {"writer": {
+                "classname": "tsdat_spark.io.Zarr3Writer",
+                "parameters": {"dim": "time", "order_by": ["time"],
+                               "chunk_rows": 3},
+            }}
+        },
+    )
+    assert spec.storage.format == "zarr3"
+    table = str(tmp_path / "out_z3")
+    res = spec.run(spark, [csv_path], table_path=table)
+    assert res.manifests and res.manifests[0].n_rows == 5
+
+    import json as _json
+    import os
+
+    with open(os.path.join(table, "zarr.json")) as f:
+        assert _json.load(f)["zarr_format"] == 3
+    from tsdat_spark.io.zarr2 import ZarrReader
+
+    back = ZarrReader(dim="time").read(spark, table).orderBy("time").collect()
+    assert len(back) == 5
+    assert back[0]["conv_id"] == "c1"
+
+
 def test_yaml_pipeline_timezone_conversion(spark, tmp_path):
     """StringToDatetime timezone=US/Eastern input is normalized to UTC
     (string_to_datetime.py:63-68)."""

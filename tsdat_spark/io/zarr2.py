@@ -111,11 +111,17 @@ _V3_DTYPES = {
 def _normalize_v3_meta(meta: dict, array_dir: str) -> tuple[dict, dict]:
     if meta.get("node_type") != "array":
         raise ValueError(f"zarr.json at {array_dir} is not an array node")
-    dt = _V3_DTYPES.get(meta.get("data_type"))
+    is_vlen_str = meta.get("data_type") == "string"
+    if is_vlen_str:
+        # zarr-python 3 variable-length strings: the array↔bytes codec is
+        # vlen-utf8 (numcodecs VLenUTF8 framing) instead of "bytes"
+        dt = "|O"
+    else:
+        dt = _V3_DTYPES.get(meta.get("data_type"))
     if dt is None:
         raise ValueError(
             f"unsupported zarr v3 data_type {meta.get('data_type')!r} "
-            "(numeric/bool supported; v3 has no fixed-unicode type)"
+            "(numeric/bool/string supported)"
         )
     grid = meta.get("chunk_grid", {})
     if grid.get("name") != "regular":
@@ -133,6 +139,9 @@ def _normalize_v3_meta(meta: dict, array_dir: str) -> tuple[dict, dict]:
         if c.get("name") == "bytes":
             if c.get("configuration", {}).get("endian", "little") != "little":
                 raise ValueError("big-endian v3 bytes codec unsupported")
+        elif c.get("name") == "vlen-utf8":
+            if not is_vlen_str:
+                raise ValueError("vlen-utf8 codec on a non-string array")
         elif c.get("name") not in ("gzip", "zstd", "blosc", "crc32c"):
             raise ValueError(f"unsupported v3 codec {c.get('name')!r}")
     fv = meta.get("fill_value")
@@ -148,12 +157,33 @@ def _normalize_v3_meta(meta: dict, array_dir: str) -> tuple[dict, dict]:
     return norm, dict(meta.get("attributes") or {})
 
 
+def _vlen_utf8_decode(raw: bytes) -> list:
+    """numcodecs VLenUTF8 framing: uint32 item count, then per item a
+    uint32 byte length + utf-8 payload (all little-endian)."""
+    n = int.from_bytes(raw[0:4], "little")
+    out, p = [], 4
+    for _ in range(n):
+        ln = int.from_bytes(raw[p : p + 4], "little")
+        p += 4
+        out.append(raw[p : p + ln].decode("utf-8"))
+        p += ln
+    return out
+
+
+def _vlen_utf8_encode(items) -> bytes:
+    parts = [len(items).to_bytes(4, "little")]
+    for s in items:
+        b = str(s).encode("utf-8")
+        parts.append(len(b).to_bytes(4, "little") + b)
+    return b"".join(parts)
+
+
 def _decompress_v3(raw: bytes, codecs: list) -> bytes:
     """Run the bytes→bytes part of a v3 codec chain in reverse."""
     for c in reversed(codecs):
         name = c.get("name")
-        if name == "bytes":
-            continue  # array<->bytes: little-endian passthrough (validated)
+        if name in ("bytes", "vlen-utf8"):
+            continue  # array<->bytes layer: handled by the chunk reader
         if name == "gzip":
             import gzip as _gzip
 
@@ -220,10 +250,12 @@ def read_zarr_chunk(array_dir: str, meta: dict, chunk_idx: int) -> np.ndarray:
     if not fs.exists(path):
         fv = meta.get("fill_value")
         if fv is None:
-            fv = np.nan if dt.kind == "f" else "" if dt.kind == "U" else 0
+            fv = np.nan if dt.kind == "f" else "" if dt.kind in ("U", "O") else 0
         return np.full(count, fv, dtype=dt)
     if meta.get("zarr_format") == 3:
         raw = _decompress_v3(fs.read_bytes(path), meta["v3_codecs"])
+        if dt.kind == "O":  # variable-length strings (vlen-utf8)
+            return np.array(_vlen_utf8_decode(raw)[:count], dtype=object)
     else:
         raw = _decompress(fs.read_bytes(path), meta.get("compressor"))
     # a stored chunk is always full chunk width; trim the tail chunk
@@ -242,7 +274,7 @@ def read_zarr_array(array_dir: str) -> np.ndarray:
 def _spark_type(dt: np.dtype, attrs: dict) -> str:
     if " since " in str(attrs.get("units", "")):
         return "timestamp"
-    if dt.kind == "U":
+    if dt.kind in ("U", "O"):
         return "string"
     if dt.kind in ("i", "u"):
         return "long"
@@ -334,11 +366,15 @@ class ZarrDatasetWriter:
         self.zarr_format = zarr_format
         self.checksum = bool(checksum)  # v3 only: append a crc32c codec
 
-    def _v3_codecs(self) -> list[dict]:
-        """self.compressor → a v3 codec chain (bytes + optional compressor
-        + optional crc32c). v2 'zlib' maps to the v3 'gzip' codec — v3 has
-        no zlib codec, so the chunk bytes are gzip-framed in v3 mode."""
-        chain = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    def _v3_codecs(self, string: bool = False) -> list[dict]:
+        """self.compressor → a v3 codec chain (bytes — or vlen-utf8 for
+        variable-length string arrays — + optional compressor + optional
+        crc32c). v2 'zlib' maps to the v3 'gzip' codec — v3 has no zlib
+        codec, so the chunk bytes are gzip-framed in v3 mode."""
+        if string:
+            chain = [{"name": "vlen-utf8", "configuration": {}}]
+        else:
+            chain = [{"name": "bytes", "configuration": {"endian": "little"}}]
         comp = self.compressor
         if comp is not None:
             cid = comp.get("id")
@@ -395,12 +431,6 @@ class ZarrDatasetWriter:
             nullable_ints = {c for c in int_cols if row[f"n_{c}"]}
 
         # array metadata per column (driver-side, tiny)
-        if v3 and any(t == "string" for _, t in fields):
-            raise NotImplementedError(
-                "zarr v3 write does not support string columns (v3 has no "
-                "fixed-unicode data type; the provisional variable-length "
-                "'string' type is a documented boundary) — use zarr_format=2"
-            )
         for name, typ in fields:
             adir = os.path.join(path, name)
             fs.makedirs(adir)
@@ -417,17 +447,20 @@ class ZarrDatasetWriter:
             else:
                 dtype, extra = "<f8", {}
             if v3:
+                is_str = typ == "string"
                 fs.makedirs(os.path.join(adir, "c"))
                 fs.write_text(os.path.join(adir, "zarr.json"), json.dumps(
                     {"zarr_format": 3, "node_type": "array",
                      "shape": [total],
-                     "data_type": "int64" if dtype == "<i8" else "float64",
+                     "data_type": ("string" if is_str
+                                   else "int64" if dtype == "<i8" else "float64"),
                      "chunk_grid": {"name": "regular",
                                     "configuration": {"chunk_shape": [cw]}},
                      "chunk_key_encoding": {"name": "default",
                                             "configuration": {"separator": "/"}},
-                     "fill_value": 0 if dtype == "<i8" else 0.0,
-                     "codecs": self._v3_codecs(),
+                     "fill_value": ("" if is_str
+                                    else 0 if dtype == "<i8" else 0.0),
+                     "codecs": self._v3_codecs(string=is_str),
                      "dimension_names": [dim],
                      "attributes": {"_ARRAY_DIMENSIONS": [dim],
                                     **extra, **self.var_attrs.get(name, {})}}))
@@ -463,6 +496,18 @@ class ZarrDatasetWriter:
             ci = int(pdf["__chunk"].iloc[0])
             for name, typ in field_types.items():
                 col = pdf[name]
+                if v3_b and typ == "string":
+                    # variable-length strings: vlen-utf8 framing (padded to
+                    # full chunk width with "" like the fixed-width path)
+                    items = col.fillna("").tolist()
+                    items += [""] * (cw - len(items))
+                    payload = _compress(_vlen_utf8_encode(items), comp_eff, 1)
+                    if checksum_b:
+                        from ..compress.crc32c import crc32c
+
+                        payload += crc32c(payload).to_bytes(4, "little")
+                    fs.write_bytes(os.path.join(path, name, "c", str(ci)), payload)
+                    continue
                 if typ == "timestamp":
                     from .cf import encode_cf_micros
 

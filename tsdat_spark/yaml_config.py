@@ -282,17 +282,22 @@ class PipelineSpec:
         raw = perform_data_retrieval(spark, input_keys, self.retriever, self.dataset)
         ctx = QCContext(series_keys=tuple(self.dataset.series_keys), order_cols=(self.dataset.ts_col,))
         writer = None
-        if self.storage.format in ("csv", "a2e_csv", "netcdf", "zarr"):
+        if self.storage.format in ("csv", "a2e_csv", "netcdf", "netcdf4", "zarr", "zarr3"):
+            from .io.hdf5_write import NetCDF4DatasetWriter
             from .io.netcdf3 import NetCDF3DatasetWriter
             from .io.writers import A2eCSVDatasetWriter, CSVDatasetWriter
             from .io.zarr2 import ZarrDatasetWriter
 
             cls = {"csv": CSVDatasetWriter, "a2e_csv": A2eCSVDatasetWriter,
-                   "netcdf": NetCDF3DatasetWriter, "zarr": ZarrDatasetWriter}[self.storage.format]
+                   "netcdf": NetCDF3DatasetWriter, "netcdf4": NetCDF4DatasetWriter,
+                   "zarr": ZarrDatasetWriter, "zarr3": ZarrDatasetWriter}[self.storage.format]
+            params = dict(self.storage.writer_parameters)
+            if self.storage.format == "zarr3":
+                params.setdefault("zarr_format", 3)
             writer = cls(
                 attrs=self.attrs,
                 var_attrs={n: v.attrs for n, v in self.dataset.variables.items() if v.attrs},
-                **self.storage.writer_parameters,
+                **params,
             )
         return run_ingest(raw, self.dataset, ctx, self.quality, table_path=table_path, writer=writer)
 
@@ -397,7 +402,9 @@ _WRITER_FORMATS = {
     "ParquetHandler": "parquet", "ParquetWriter": "parquet",
     "NetCDFHandler": "netcdf", "NetCDFWriter": "netcdf",
     "SplitNetCDFWriter": "netcdf",
+    "NetCDF4Writer": "netcdf4", "NetCDF4Handler": "netcdf4",
     "ZarrHandler": "zarr", "ZarrWriter": "zarr",
+    "Zarr3Writer": "zarr3", "ZarrV3Writer": "zarr3",
 }
 
 
