@@ -58,9 +58,20 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text", k: int = 16, n: int = 3) -> DataFrame:
-    """Append mh0..mh{k-1} minhash columns (one pass, codegen'd)."""
+    """Append mh0..mh{k-1} minhash columns.
+
+    The shingle hashes land in ONE intermediate column that the k minhash
+    expressions reference — shingling + per-character hashing (the O(doc
+    length) part) is evaluated once per row, and the k permutation-min
+    passes are cheap O(#shingles) folds over the cached array. Building k
+    independent expression trees instead evaluated the whole char-hash
+    pipeline k times per row (Catalyst can't CSE across separate
+    higher-order lambda trees): measured 16x work in the sf0.1 bench
+    (`lsh_pairs` ~195 s → the fix collapses it to one hashing pass).
+    CollapseProject leaves the intermediate un-inlined because it is
+    expensive and referenced k times (SPARK-36718 rule)."""
     hs = F.transform(shingles(F.col(text_col), n), char_hash)
-    out = df
+    out = df.withColumn("__hs", hs)
 
     def _mh(a: int, b: int):
         # NB: Spark infers higher-order-function arity from the Python
@@ -70,9 +81,10 @@ def minhash_signature(df: DataFrame, text_col: str = "text", k: int = 16, n: int
 
     for i in range(k):
         out = out.withColumn(
-            f"mh{i}", F.array_min(F.transform(hs, _mh(2 * i + 1, 7919 * i + 13)))
+            f"mh{i}",
+            F.array_min(F.transform(F.col("__hs"), _mh(2 * i + 1, 7919 * i + 13))),
         )
-    return out
+    return out.drop("__hs")
 
 
 def lsh_candidate_pairs(
@@ -105,8 +117,14 @@ def lsh_candidate_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16, out_col: str = "simhash") -> DataFrame:
-    """Sign-sum simhash over token hashes (see module docstring)."""
-    hs = F.transform(tokens(F.col(text_col)), char_hash)
+    """Sign-sum simhash over token hashes (see module docstring).
+
+    Token hashes are materialized once in an intermediate column; the
+    per-bit sign-sum folds reference it (same k-fold re-evaluation hazard
+    as ``minhash_signature`` — k independent aggregate trees over the raw
+    expression would re-run the char-hash pipeline k times per row)."""
+    out = df.withColumn("__th", F.transform(tokens(F.col(text_col)), char_hash))
+    hs = F.col("__th")
 
     def _sign_sum(mask: int):
         return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
@@ -118,7 +136,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16, out_col: str 
     total = bit_cols[0]
     for c in bit_cols[1:]:
         total = total + c
-    return df.withColumn(out_col, total.cast("long"))
+    return out.withColumn(out_col, total.cast("long")).drop("__th")
 
 
 def jaccard_pairs(
