@@ -125,12 +125,21 @@ def test_blosc_raw_mode_and_incompressible():
     assert blosc_decompress(blosc_compress(data, 8)) == data
 
 
-def test_blosc_bitshuffle_raises():
+def test_blosc_bitshuffle_chunk_decodes():
+    """Round-4's named bit-shuffle boundary is now a real codec (see
+    tests/test_bitshuffle.py for the layout pins); a minimal one-block
+    bitshuffled chunk decodes here through the container path."""
     import struct
 
-    hdr = struct.pack("<BBBBIII", 2, 1, 0x4 | (1 << 5), 8, 8, 8, 28)
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
-        blosc_decompress(hdr + b"\x00" * 12)
+    data = bytes(range(64)) * 8  # 64 elements of typesize 8
+    from tsdat_spark.compress.bitshuffle import blosc_bitshuffle
+
+    shuf = blosc_bitshuffle(data, 8)
+    hdr = struct.pack(
+        "<BBBBIII", 2, 1, 0x4 | (1 << 5), 8, len(data), len(data), 16 + 4 + 4 + len(data)
+    )
+    body = struct.pack("<I", 20) + struct.pack("<i", len(data)) + shuf  # stored raw
+    assert blosc_decompress(hdr + body) == data
 
 
 def test_reference_fixture_chunks_decode_exactly():

@@ -12,7 +12,10 @@ Chunk layout (16-byte header, all little-endian):
   byte 0 version, 1 codec-format version, 2 flags, 3 typesize,
   4-7 nbytes (uncompressed), 8-11 blocksize, 12-15 cbytes (total stored).
 Flags: 0x1 byte-shuffle, 0x2 memcpyed (raw payload follows the header),
-0x4 bit-shuffle, bits 5-7 codec id (0 blosclz, 1 lz4/lz4hc).
+0x4 bit-shuffle (``compress/bitshuffle.py`` layout, single transpose per
+block with an 8-aligned element count and raw tail), 0x10 encoder chose
+not to split (c-blosc >= 1.11), bits 5-7 codec id (0 blosclz, 1
+lz4/lz4hc).
 Non-memcpyed payload: uint32 absolute offsets of each block (blocks cover
 ``blocksize`` input bytes each), then per block 1 or ``typesize`` split
 streams (split when codec ∈ {blosclz, lz4} ∧ typesize ≤ 16 ∧
@@ -35,6 +38,7 @@ _HEADER = struct.Struct("<BBBBIII")
 FLAG_SHUFFLE = 0x1
 FLAG_MEMCPYED = 0x2
 FLAG_BITSHUFFLE = 0x4
+FLAG_DONT_SPLIT = 0x10  # c-blosc >= 1.11: encoder chose nsplits=1
 
 _CODEC_BLOSCLZ = 0
 _CODEC_LZ4 = 1
@@ -74,11 +78,6 @@ def blosc_decompress(chunk: bytes) -> bytes:
     )
     if version > 2:
         raise ValueError(f"unsupported blosc chunk version {version}")
-    if flags & FLAG_BITSHUFFLE:
-        raise NotImplementedError(
-            "blosc bit-shuffle filter not implemented (byte-shuffle and "
-            "unshuffled chunks are supported)"
-        )
     if flags & FLAG_MEMCPYED:
         # raw payload, no shuffle (c-blosc memcpys the original buffer)
         return bytes(chunk[16 : 16 + nbytes])
@@ -98,7 +97,13 @@ def blosc_decompress(chunk: bytes) -> bytes:
         # made on the header blocksize, not the tail's actual size.
         leftover = block_nbytes < blocksize
         nsplits = (
-            typesize if (not leftover and _is_split(codec, typesize, blocksize)) else 1
+            typesize
+            if (
+                not leftover
+                and not flags & FLAG_DONT_SPLIT
+                and _is_split(codec, typesize, blocksize)
+            )
+            else 1
         )
         neblock = block_nbytes // nsplits
         block = bytearray()
@@ -118,6 +123,10 @@ def blosc_decompress(chunk: bytes) -> bytes:
                 )
         if flags & FLAG_SHUFFLE and typesize > 1:
             block = _unshuffle(bytes(block), typesize)
+        elif flags & FLAG_BITSHUFFLE:
+            from .bitshuffle import blosc_bitunshuffle
+
+            block = blosc_bitunshuffle(bytes(block), typesize)
         out += block
     if len(out) != nbytes:
         raise ValueError(f"blosc chunk decoded {len(out)} bytes, expected {nbytes}")
@@ -128,15 +137,17 @@ def blosc_compress(
     data: bytes,
     typesize: int,
     cname: str = "lz4",
-    shuffle: bool = True,
+    shuffle: bool | str = True,
     store_mode: str = "auto",
 ) -> bytes:
     """Encode bytes as a single-block blosc1 chunk readable by c-blosc.
 
-    ``store_mode='raw'`` forces the memcpyed container (always valid, no
-    compression work — the production write path for blosc-compatible
-    stores without a native codec); ``'auto'`` tries shuffle+lz4 and falls
-    back to memcpyed when compression does not help, like c-blosc does.
+    ``shuffle`` accepts True/1 (byte-shuffle), False/0 (none), or
+    ``"bit"``/2 (bit-shuffle, zarr's ``shuffle: 2``). ``store_mode='raw'``
+    forces the memcpyed container (always valid, no compression work — the
+    production write path for blosc-compatible stores without a native
+    codec); ``'auto'`` tries shuffle+lz4 and falls back to memcpyed when
+    compression does not help, like c-blosc does.
     """
     if cname != "lz4":
         raise NotImplementedError(f"blosc write codec {cname!r} not implemented")
@@ -151,7 +162,12 @@ def blosc_compress(
         typesize = 1
     flags = _CODEC_LZ4 << 5
     payload = data
-    if shuffle and typesize > 1:
+    if shuffle in ("bit", 2):
+        from .bitshuffle import blosc_bitshuffle
+
+        flags |= FLAG_BITSHUFFLE
+        payload = blosc_bitshuffle(data, typesize)
+    elif shuffle and typesize > 1:
         flags |= FLAG_SHUFFLE
         payload = _shuffle(data, typesize)
     # single block, split per the c-blosc rule so real blosc accepts it

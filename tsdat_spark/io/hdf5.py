@@ -19,8 +19,9 @@ latest/_f_m_t3.html) that NetCDF-4 writers actually produce:
 - data layouts: compact, contiguous, v3 chunked (B-tree v1) and v4
   chunked (single-chunk and implicit index)
 - filter pipeline v1/v2: deflate (stdlib zlib), shuffle, fletcher32
-  (checksum stripped), zstd (filter 32015, from-spec ``compress/zstd``);
-  other filters raise with the filter id
+  (checksum stripped), zstd (filter 32015, from-spec ``compress/zstd``),
+  bitshuffle (filter 32008, plain or LZ4/zstd-framed, from-spec
+  ``compress/bitshuffle``); other filters raise with the filter id
 - global heap (``GCOL``) for VLEN attribute/dataset payloads
 
 The result shape matches ``netcdf3.read_netcdf3``: (dims, global_attrs,
@@ -577,6 +578,16 @@ def _apply_filters(raw, filters, elem_size):
             from ..compress.zstd import zstd_decompress
 
             raw = zstd_decompress(raw)
+        elif fid == 32008:  # registered bitshuffle filter (HDF5 plugin id)
+            # cd_values: major, minor, elem_size, block_size(elements),
+            # [compressor: 2=lz4 3=zstd, [zstd level]] — bshuf_h5filter.c
+            from ..compress.bitshuffle import bshuf_decompress, bitunshuffle
+
+            es = cd[2] if len(cd) > 2 and cd[2] else elem_size
+            if len(cd) > 4 and cd[4]:
+                raw = bshuf_decompress(raw, es, cd[4])
+            else:
+                raw = bitunshuffle(raw, es, cd[3] if len(cd) > 3 else 0)
         else:
             raise Hdf5Boundary(f"HDF5 filter id {fid}")
     return raw

@@ -211,6 +211,15 @@ def _filters_shuffle_deflate(elem_size: int, level: int) -> bytes:
     return _msg(0x0B, struct.pack("<BB6x", 1, 2) + ent)
 
 
+def _filters_bitshuffle_lz4(elem_size: int) -> bytes:
+    # registered filter 32008, cd_values per bshuf_h5filter.c:
+    # (major, minor, elem_size, block_size 0=default, compressor 2=lz4)
+    name = b"bitshuffle\x00\x00\x00\x00\x00\x00"  # padded to a multiple of 8
+    ent = struct.pack("<HHHH", 32008, len(name), 1, 5) + name
+    ent += struct.pack("<5I4x", 0, 4, elem_size, 0, 2)  # odd ncv: 4-byte pad
+    return _msg(0x0B, struct.pack("<BB6x", 1, 1) + ent)
+
+
 def write_hdf5(
     columns: dict[str, np.ndarray],
     dim: str,
@@ -220,13 +229,18 @@ def write_hdf5(
     compress_level: int = 4,
     dense_links: bool = False,
     dense_attrs: bool = False,
+    codec: str = "deflate",
 ) -> bytes:
     """Serialize aligned 1-D columns into one HDF5/NetCDF-4-style file.
 
     ``columns[dim]`` is the coordinate variable (written as a dimension
     scale); every other column gets a ``DIMENSION_LIST`` pointing at it.
-    ``chunk_rows`` switches data variables to chunked shuffle+deflate
-    storage (the dimension scale stays contiguous, like netcdf-c)."""
+    ``chunk_rows`` switches data variables to chunked filtered storage
+    (the dimension scale stays contiguous, like netcdf-c); ``codec``
+    selects shuffle+deflate (default) or ``"bitshuffle_lz4"`` (registered
+    filter 32008 with its LZ4 framing)."""
+    if codec not in ("deflate", "bitshuffle_lz4"):
+        raise ValueError(f"unknown codec {codec!r}")
     global_attrs = dict(global_attrs or {})
     var_attrs = {k: dict(v) for k, v in (var_attrs or {}).items()}
     if dim not in columns:
@@ -354,8 +368,13 @@ def write_hdf5(
                     part = np.concatenate([part, np.zeros(chunk_rows - len(part), a.dtype)])
                 raw = part.tobytes()
                 es = a.dtype.itemsize
-                shuf = np.frombuffer(raw, np.uint8).reshape(chunk_rows, es).T.tobytes()
-                blobs.append(zlib.compress(shuf, compress_level))
+                if codec == "bitshuffle_lz4":
+                    from ..compress.bitshuffle import bshuf_compress
+
+                    blobs.append(bshuf_compress(raw, es))
+                else:
+                    shuf = np.frombuffer(raw, np.uint8).reshape(chunk_rows, es).T.tobytes()
+                    blobs.append(zlib.compress(shuf, compress_level))
             data_blobs[name] = ("chunked", blobs)
         else:
             data_blobs[name] = ("contiguous", a.tobytes())
@@ -370,7 +389,10 @@ def write_hdf5(
         ]
         storage, payload = data_blobs[name]
         if storage == "chunked":
-            msgs.append(_filters_shuffle_deflate(es, compress_level))
+            if codec == "bitshuffle_lz4":
+                msgs.append(_filters_bitshuffle_lz4(es))
+            else:
+                msgs.append(_filters_shuffle_deflate(es, compress_level))
             msgs.append(_msg(0x08, struct.pack("<BBBQII", 3, 2, 2, data_addr,
                                                chunk_rows, es)))
         else:

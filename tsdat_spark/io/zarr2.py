@@ -11,9 +11,9 @@ store uses:
 - codecs: raw (``compressor: null``), ``zlib``, ``gzip`` (stdlib),
   ``blosc`` (the zarr-python v2 default, used by the reference's test
   fixture) via the from-spec pure-Python container codec in
-  ``compress/bloscc.py`` (lz4 + byte-shuffle), and ``zstd`` (read-only,
-  from-spec RFC 8878 decoder in ``compress/zstd.py``; bitshuffle remains
-  a documented boundary).
+  ``compress/bloscc.py`` (lz4 + byte- or bit-shuffle, the latter via
+  ``compress/bitshuffle.py``), and ``zstd`` (read-only, from-spec RFC
+  8878 decoder in ``compress/zstd.py``).
 - v3 codec chains: ``bytes`` (little-endian) + ``gzip``/``zstd``/
   ``blosc``/``crc32c`` (verified); regular chunk grids, default
   and v2 chunk-key encodings.
@@ -67,8 +67,7 @@ def _decompress(raw: bytes, compressor: dict | None) -> bytes:
         return zstd_decompress(raw)
     raise ValueError(
         f"unsupported zarr compressor {cid!r}: raw/zlib/gzip/blosc "
-        "(lz4, byte-shuffle)/zstd are supported; bitshuffle is the "
-        "remaining documented boundary"
+        "(lz4, byte- or bit-shuffle)/zstd are supported"
     )
 
 
@@ -85,11 +84,12 @@ def _compress(raw: bytes, compressor: dict | None, typesize: int = 1) -> bytes:
     if cid == "blosc":
         from ..compress.bloscc import blosc_compress
 
+        shuffle = compressor.get("shuffle", 1)  # numcodecs: 0 none, 1 byte, 2 bit
         return blosc_compress(
             raw,
             typesize,
             cname=compressor.get("cname", "lz4"),
-            shuffle=bool(compressor.get("shuffle", 1)),
+            shuffle="bit" if shuffle == 2 else bool(shuffle),
         )
     raise ValueError(f"unsupported zarr compressor {cid!r}")
 
