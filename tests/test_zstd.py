@@ -169,3 +169,69 @@ def test_dictionary_frame_boundary():
     frame = struct.pack("<I", 0xFD2FB528) + bytes([0x01, 0x00, 0x07]) + b""
     with pytest.raises(NotImplementedError, match="dictionar"):
         zstd_decompress(frame + bytes([0x01, 0x00, 0x00]))
+
+
+# -- store-mode encoder (round 5) -------------------------------------------
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_store_mode_encoder_accepted_by_libzstd(name):
+    """zstd_compress emits raw/RLE-block frames; the canonical libzstd
+    decoder (and our own) must accept every shape, including the empty
+    frame, multi-block >64 KiB payloads, and RLE runs."""
+    from tsdat_spark.compress.zstd import zstd_compress
+
+    data = CASES[name]
+    frame = zstd_compress(data)
+    assert zstd_decompress(frame) == data
+    assert bytes(_z.decompress(frame, decompressed_size=len(data))) == data
+
+
+def test_store_mode_rle_actually_shrinks():
+    from tsdat_spark.compress.zstd import zstd_compress
+
+    data = b"\x07" * 250_000
+    frame = zstd_compress(data)
+    assert len(frame) < 100  # 4 RLE blocks + headers, not 250 KB
+    assert zstd_decompress(frame) == data
+
+
+def test_hdf5_file_zstd_codec_roundtrip():
+    from tsdat_spark.io.hdf5 import read_hdf5
+    from tsdat_spark.io.hdf5_write import write_hdf5
+
+    n = 300
+    cols = {
+        "time": np.arange(n).astype("datetime64[us]"),
+        "value": (np.arange(n) % 7).astype("<f8") * 1.5,
+    }
+    blob = write_hdf5(cols, dim="time", chunk_rows=128, codec="zstd")
+    _dims, _gattrs, vs = read_hdf5(blob)
+    np.testing.assert_array_equal(vs["value"]["array"], cols["value"])
+
+
+@pytest.mark.parametrize("zarr_format", [2, 3])
+def test_zarr_zstd_write_read_roundtrip(tmp_path, zarr_format, spark):
+    """The engine's zarr sink can now emit zstd-compressed stores (the
+    zarr-python 3 default codec) in both formats and read them back."""
+    import pandas as pd
+
+    from tsdat_spark.io.zarr2 import ZarrDatasetWriter, ZarrReader
+
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "time": pd.date_range("2024-01-01", periods=n, freq="s"),
+            "value": (np.arange(n) % 11) * 0.25,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / f"z{zarr_format}.zarr")
+    ZarrDatasetWriter(
+        chunk_rows=512,
+        order_by=["time"],
+        compressor={"id": "zstd"},
+        zarr_format=zarr_format,
+    ).write(df, path)
+    back = ZarrReader().read(spark, path).orderBy("time").toPandas()
+    np.testing.assert_allclose(back["value"].to_numpy(), pdf["value"].to_numpy())

@@ -19,8 +19,10 @@ RFC 8878 ("Zstandard Compression and the 'application/zstd' Media Type"):
   Repeat), the RFC's predefined LL/ML/OF distributions, repeated-offset
   history incl. the literals_length==0 shift, overlapping match copies.
 
-Encode side is intentionally absent (writers emit gzip/blosc, both
-implemented); attempting to read a dictionary frame raises a named error.
+Encode side is store-mode only (:func:`zstd_compress`: raw/RLE blocks,
+valid frames with no entropy coding — writers needing real compression
+emit gzip/blosc); attempting to read a dictionary frame raises a named
+error.
 
 Performance shape: decoding runs inside Spark tasks (one chunk per task),
 so the per-byte Python cost is distributed; the bit readers are O(1) per
@@ -487,6 +489,40 @@ def _decode_block(block: bytes, out: bytearray, st: _FrameState) -> None:
             for j in range(match_len):
                 out.append(out[start + j])
     out += literals[lit_pos:]
+
+
+def zstd_compress(data: bytes) -> bytes:
+    """Store-mode encoder: one valid RFC 8878 frame of raw/RLE blocks —
+    no entropy coding, so any zstd decoder (including this module's)
+    reads it. The same write posture as blosc ``store_mode='raw'``: the
+    engine's sinks stay interoperable with zstd-defaulting tooling
+    (zarr-python 3, HDF5 plugin 32015) without a native encoder; uniform
+    runs still shrink via RLE blocks."""
+    n = len(data)
+    # single-segment frame header with the smallest FCS field that fits
+    if n <= 255:
+        head = bytes([0x20, n])  # FCS flag 0 + single-segment: 1-byte FCS
+    elif n - 256 <= 0xFFFF:
+        head = bytes([0x60]) + struct.pack("<H", n - 256)
+    elif n <= 0xFFFFFFFF:
+        head = bytes([0xA0]) + struct.pack("<I", n)
+    else:
+        head = bytes([0xE0]) + struct.pack("<Q", n)
+    out = bytearray(struct.pack("<I", _MAGIC) + head)
+    block_max = 1 << 16
+    pos = 0
+    while True:
+        block = data[pos : pos + block_max]
+        pos += len(block)
+        last = 1 if pos >= n else 0
+        if len(block) > 1 and block == block[:1] * len(block):
+            out += int((len(block) << 3) | (1 << 1) | last).to_bytes(3, "little")
+            out += block[:1]  # RLE block: one byte, repeated size times
+        else:
+            out += int((len(block) << 3) | last).to_bytes(3, "little")
+            out += block
+        if last:
+            return bytes(out)
 
 
 def zstd_decompress(data: bytes) -> bytes:

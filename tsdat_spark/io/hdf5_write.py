@@ -211,6 +211,14 @@ def _filters_shuffle_deflate(elem_size: int, level: int) -> bytes:
     return _msg(0x0B, struct.pack("<BB6x", 1, 2) + ent)
 
 
+def _filters_shuffle_zstd(elem_size: int, level: int) -> bytes:
+    name = b"zstd\x00\x00\x00\x00"  # padded to a multiple of 8
+    ent = struct.pack("<HHHHI4x", 2, 0, 0, 1, elem_size)  # shuffle
+    ent += struct.pack("<HHHH", 32015, len(name), 1, 1) + name
+    ent += struct.pack("<I4x", level)  # odd ncv: 4-byte pad
+    return _msg(0x0B, struct.pack("<BB6x", 1, 2) + ent)
+
+
 def _filters_bitshuffle_lz4(elem_size: int) -> bytes:
     # registered filter 32008, cd_values per bshuf_h5filter.c:
     # (major, minor, elem_size, block_size 0=default, compressor 2=lz4)
@@ -237,9 +245,10 @@ def write_hdf5(
     scale); every other column gets a ``DIMENSION_LIST`` pointing at it.
     ``chunk_rows`` switches data variables to chunked filtered storage
     (the dimension scale stays contiguous, like netcdf-c); ``codec``
-    selects shuffle+deflate (default) or ``"bitshuffle_lz4"`` (registered
-    filter 32008 with its LZ4 framing)."""
-    if codec not in ("deflate", "bitshuffle_lz4"):
+    selects shuffle+deflate (default), ``"bitshuffle_lz4"`` (registered
+    filter 32008 with its LZ4 framing), or ``"zstd"`` (shuffle +
+    registered filter 32015, store-mode frames)."""
+    if codec not in ("deflate", "bitshuffle_lz4", "zstd"):
         raise ValueError(f"unknown codec {codec!r}")
     global_attrs = dict(global_attrs or {})
     var_attrs = {k: dict(v) for k, v in (var_attrs or {}).items()}
@@ -372,6 +381,11 @@ def write_hdf5(
                     from ..compress.bitshuffle import bshuf_compress
 
                     blobs.append(bshuf_compress(raw, es))
+                elif codec == "zstd":
+                    from ..compress.zstd import zstd_compress
+
+                    shuf = np.frombuffer(raw, np.uint8).reshape(chunk_rows, es).T.tobytes()
+                    blobs.append(zstd_compress(shuf))
                 else:
                     shuf = np.frombuffer(raw, np.uint8).reshape(chunk_rows, es).T.tobytes()
                     blobs.append(zlib.compress(shuf, compress_level))
@@ -391,6 +405,8 @@ def write_hdf5(
         if storage == "chunked":
             if codec == "bitshuffle_lz4":
                 msgs.append(_filters_bitshuffle_lz4(es))
+            elif codec == "zstd":
+                msgs.append(_filters_shuffle_zstd(es, compress_level))
             else:
                 msgs.append(_filters_shuffle_deflate(es, compress_level))
             msgs.append(_msg(0x08, struct.pack("<BBBQII", 3, 2, 2, data_addr,

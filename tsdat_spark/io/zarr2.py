@@ -12,8 +12,8 @@ store uses:
   ``blosc`` (the zarr-python v2 default, used by the reference's test
   fixture) via the from-spec pure-Python container codec in
   ``compress/bloscc.py`` (lz4 + byte- or bit-shuffle, the latter via
-  ``compress/bitshuffle.py``), and ``zstd`` (read-only, from-spec RFC
-  8878 decoder in ``compress/zstd.py``).
+  ``compress/bitshuffle.py``), and ``zstd`` (from-spec RFC 8878 decoder;
+  writes are store-mode raw/RLE frames — ``compress/zstd.py``).
 - v3 codec chains: ``bytes`` (little-endian) + ``gzip``/``zstd``/
   ``blosc``/``crc32c`` (verified); regular chunk grids, default
   and v2 chunk-key encodings.
@@ -91,6 +91,10 @@ def _compress(raw: bytes, compressor: dict | None, typesize: int = 1) -> bytes:
             cname=compressor.get("cname", "lz4"),
             shuffle="bit" if shuffle == 2 else bool(shuffle),
         )
+    if cid == "zstd":
+        from ..compress.zstd import zstd_compress
+
+        return zstd_compress(raw)  # store-mode frames (see compress/zstd.py)
     raise ValueError(f"unsupported zarr compressor {cid!r}")
 
 
@@ -382,10 +386,15 @@ class ZarrDatasetWriter:
                 chain.append({"name": "gzip",
                               "configuration": {"level": comp.get("level", 6)}})
             elif cid == "blosc":
+                shuffle = comp.get("shuffle", 1)
                 chain.append({"name": "blosc", "configuration": {
                     "cname": comp.get("cname", "lz4"),
-                    "shuffle": "shuffle" if comp.get("shuffle", 1) else "noshuffle",
+                    "shuffle": {0: "noshuffle", 2: "bitshuffle"}.get(
+                        shuffle, "shuffle"),
                     "typesize": 8}})
+            elif cid == "zstd":
+                chain.append({"name": "zstd",
+                              "configuration": {"level": 0, "checksum": False}})
             else:
                 raise ValueError(f"unsupported v3 write compressor {cid!r}")
         if self.checksum:
