@@ -139,6 +139,13 @@ def test_writer_spark_partitioned_parts_scan_back(spark, tmp_path):
     assert back[0]["time"] == dt.datetime(2024, 1, 1)
     assert back[-1]["v"] == 4999 * 0.25
 
+    # the sink's codec knob reaches the chunk encoder (round-5 bitshuffle)
+    out2 = str(tmp_path / "nc4_bs")
+    NetCDF4DatasetWriter(chunk_rows=512, partitions=2,
+                         codec="bitshuffle_lz4").write(df, out2)
+    back2 = NetCDF3Reader(dim="time").read(spark, out2).orderBy("i").collect()
+    assert len(back2) == 5000 and back2[-1]["v"] == 4999 * 0.25
+
 
 def test_dense_links_and_attrs_roundtrip():
     """Dense (fractal-heap + v2-B-tree) link AND attribute storage — the

@@ -566,25 +566,27 @@ class NetCDF4DatasetWriter:
 
     def __init__(self, attrs: dict | None = None, var_attrs: dict | None = None,
                  dim: str = "time", partitions: int | None = None,
-                 chunk_rows: int | None = None, compress_level: int = 4):
+                 chunk_rows: int | None = None, compress_level: int = 4,
+                 codec: str = "deflate"):
         self.attrs = dict(attrs or {})
         self.var_attrs = {k: dict(v) for k, v in (var_attrs or {}).items()}
         self.dim = dim
         self.partitions = partitions
         self.chunk_rows = chunk_rows
         self.compress_level = compress_level
+        self.codec = codec
 
     def write(self, df, path: str) -> list:
         from .fs import write_binary_parts
 
         attrs, var_attrs, dim = self.attrs, self.var_attrs, self.dim
-        chunk_rows, level = self.chunk_rows, self.compress_level
+        chunk_rows, level, codec = self.chunk_rows, self.compress_level, self.codec
 
         def render_blob(pdf) -> bytes:
             cols = {c: pdf[c].to_numpy() for c in pdf.columns}
             return write_hdf5(cols, dim=dim, global_attrs=attrs,
                               var_attrs=var_attrs, chunk_rows=chunk_rows,
-                              compress_level=level)
+                              compress_level=level, codec=codec)
 
         return write_binary_parts(df, path, render_blob, partitions=self.partitions)
 
