@@ -43,12 +43,28 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Give CPU-heavy narrow maps enough partitions to use every core.
+
+    A small single-row-group parquet file scans as ONE split, which pins
+    per-row work (shingle hashing, minhash folds, vector math) to a single
+    task no matter how many cores the cluster has. Repartition ONLY when
+    the scan has fewer splits than the cluster's parallelism — at real
+    scale the scan already has >= cores splits and no shuffle is added;
+    at small scale the added shuffle is a few MB against seconds of
+    otherwise-serial hashing (sf0.1 `jaccard_pairs` 28 s -> ~3 s)."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
