@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": Q.q_lsh_pairs,
         "simhash16": Q.q_simhash16,
         "jaccard_pairs": Q.q_jaccard_pairs,
+        "m4_downsample": Q.q_m4_downsample,
         "dedup_clusters": Q.q_dedup_clusters,
         "dedup_clusters_contraction": Q.q_dedup_clusters_contraction,
         "clean_corpus": Q.q_clean_corpus,

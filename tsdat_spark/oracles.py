@@ -430,6 +430,33 @@ FROM ranked WHERE rnk = 1
 # engines in IEEE float64, outputs rounded to 6 dp -------------------------
 
 _G0_US = 1704067200000000  # epoch µs of 2024-01-01 (EVENTS_GRID_START)
+_G1_US = 1709251200000000  # epoch µs of 2024-03-01 (EVENTS_GRID_STOP)
+
+# M4 downsample: struct min/max arg-extremes — {'t':…,'v':…} orders by
+# (t, v) lexicographically in DuckDB exactly as F.struct(t, v) does in
+# Spark, so first/last/min/max tie-breaks are engine-identical.
+ORACLES["m4_downsample"] = f"""
+WITH pts AS (
+  SELECT event_type,
+         CAST(floor((epoch_us(ts) - {_G0_US}) * 64 / ({_G1_US} - {_G0_US})) AS INT) AS bin,
+         epoch_us(ts) AS t,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE value IS NOT NULL
+    AND epoch_us(ts) >= {_G0_US} AND epoch_us(ts) < {_G1_US}
+)
+SELECT event_type, bin,
+       (min({{'t': t, 'v': v}})).t AS t_first,
+       round((min({{'t': t, 'v': v}})).v, 6) AS v_first,
+       round((min({{'v': v, 't': t}})).v, 6) AS v_min,
+       (min({{'v': v, 't': t}})).t AS t_min,
+       round((max({{'v': v, 't': t}})).v, 6) AS v_max,
+       (max({{'v': v, 't': t}})).t AS t_max,
+       (max({{'t': t, 'v': v}})).t AS t_last,
+       round((max({{'t': t, 'v': v}})).v, 6) AS v_last,
+       count(*) AS n_points
+FROM pts GROUP BY event_type, bin
+"""
 
 ORACLES["bin_average_30m"] = """
 WITH src AS (

@@ -525,6 +525,18 @@ def q_clean_corpus(spark, sf_dir):
     )
 
 
+def q_m4_downsample(spark, sf_dir):
+    """M4 visualization downsample (Jugel et al., VLDB 2014) of the events
+    value series per event_type over the standard grid range, 64 pixel
+    bins — the aggregation behind ``hook_plot_dataset`` reference plots
+    (one algebraic groupBy; only ≤ 4·64·types points ever leave Spark)."""
+    from .plot import m4_downsample
+
+    ev = _events(spark, sf_dir)
+    return m4_downsample(ev, "ts", "value", EVENTS_GRID_START, EVENTS_GRID_STOP,
+                         width=64, series_keys=["event_type"])
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard similarity for same-source document pairs."""
     from .text.dedup import jaccard_pairs
