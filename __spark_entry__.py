@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": Q.q_token_count_bpe,
         "text_quality": Q.q_text_quality,
         "lang_id": Q.q_lang_id,
+        "repetition_signals": Q.q_repetition_signals,
         "minhash_signatures": Q.q_minhash_signatures,
         "lsh_pairs": Q.q_lsh_pairs,
         "simhash16": Q.q_simhash16,

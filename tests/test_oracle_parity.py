@@ -14,6 +14,8 @@ SUBSET = [
     "bin_average_30m",
     "dedup_exact",
     "minhash_signatures",
+    "repetition_signals",
+    "m4_downsample",
     "neardup_cosine",
     "ivf_assign",
     "ivf_search",

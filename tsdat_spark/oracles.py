@@ -142,6 +142,29 @@ SELECT doc_id,
        round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS unique_ratio
 FROM d
 """,
+    "repetition_signals": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd, t FROM toks
+), grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM base, unnest(range(1, n)) AS r(i)
+  WHERE n >= 2
+), gc AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS mc FROM gc GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CASE WHEN b.n > 0 THEN round(1.0 - CAST(b.nd AS DOUBLE) / b.n, 6)
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN b.n >= 2 THEN round(CAST(coalesce(t2.mc, 0) AS DOUBLE) / (b.n - 1), 6)
+            ELSE 0.0 END AS top_bigram_frac
+FROM base b LEFT JOIN top t2 USING (doc_id)
+""",
     "lang_id": """
 WITH d AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks

@@ -122,8 +122,15 @@ def run_rollup_job(
     series_keys: list[str] = ("conv_id", "tool", "role"),
     ts_col: str = "ts",
     tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    hook_customize_inputs: Callable[[DataFrame], DataFrame] | None = None,
 ) -> RollupJobResult:
     """Checkpointed tier-cascade job (see module docstring).
+
+    ``hook_customize_inputs``: the ``hook_customize_input_datasets`` slot of
+    the reference transform lifecycle (``tsdat/pipeline/pipelines/
+    transformation_pipeline.py:77-94``) — applied to the input turns BEFORE
+    lineage fingerprinting and the tier cascade, so a hook edit changes the
+    input snapshot ids and re-triggers exactly the affected partitions.
 
     Writes ``{out_root}/tier_{t}`` for each tier. Crash-resume protocol:
 
@@ -138,6 +145,8 @@ def run_rollup_job(
       makes per-tier resume possible at all.
     """
     spark = turns.sparkSession
+    if hook_customize_inputs:
+        turns = hook_customize_inputs(turns)
     current = partition_manifests(turns, ts_col=ts_col)
     per_tier_todo: dict[str, list] = {}
     for tier in tiers:

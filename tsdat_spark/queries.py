@@ -408,6 +408,59 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1;
+    RefinedWeb, Penedo et al. 2023): duplicate-token fraction and the
+    fraction of bigrams taken by the single most frequent bigram. High
+    values mark boilerplate/generated text a training-data pipeline drops.
+
+    All JVM-side: the top-bigram count is a max-run-length fold over the
+    SORTED bigram array (one higher-order aggregate, no explode/groupBy —
+    per-doc work stays in one codegen'd map at any corpus size)."""
+    d = _documents(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = d.select("doc_id", toks.alias("__t"))
+    t = F.col("__t")
+    n = F.size(t)
+    dup_frac = F.when(
+        n > 0, F.round(F.lit(1.0) - F.size(F.array_distinct(t)) / n, 6)
+    ).otherwise(0.0)
+    bigrams = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        )
+    )
+    run_state = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(g == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+    top_bigram_frac = F.when(
+        n >= 2, F.round(run_state / (n - 1), 6)
+    ).otherwise(0.0)
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        dup_frac.alias("dup_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-heuristic language id: 'en' iff ≥2% stopword tokens,
     else 'unknown' (deterministic n-gram-free heuristic)."""
