@@ -139,15 +139,39 @@ def _normalize_v3_meta(meta: dict, array_dir: str) -> tuple[dict, dict]:
     else:
         raise ValueError(f"unsupported v3 chunk key encoding {cke.get('name')!r}")
     codecs = meta.get("codecs", [])
-    for c in codecs:
-        if c.get("name") == "bytes":
-            if c.get("configuration", {}).get("endian", "little") != "little":
-                raise ValueError("big-endian v3 bytes codec unsupported")
-        elif c.get("name") == "vlen-utf8":
-            if not is_vlen_str:
-                raise ValueError("vlen-utf8 codec on a non-string array")
-        elif c.get("name") not in ("gzip", "zstd", "blosc", "crc32c"):
-            raise ValueError(f"unsupported v3 codec {c.get('name')!r}")
+    shard = None
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        # ZEP 2 sharding: the array→bytes codec wraps an inner chunk grid
+        # whose chunks are packed into one stored object per outer chunk
+        # (the "shard") with an (offset, nbytes) index. Normalized so the
+        # outer chunk addressing stays unchanged and the shard decode
+        # happens inside read_zarr_chunk.
+        cfg = codecs[0].get("configuration", {})
+        if "chunk_shape" not in cfg:
+            raise ValueError(
+                "sharding_indexed configuration missing chunk_shape")
+        inner_chain = cfg.get("codecs", [])
+        _check_v3_chain(inner_chain, is_vlen_str)
+        (outer_w,) = grid["configuration"]["chunk_shape"]
+        (inner_w,) = cfg["chunk_shape"]
+        if outer_w % inner_w:
+            raise ValueError(
+                f"shard chunk_shape {inner_w} does not divide outer {outer_w}")
+        shard = {
+            "inner": inner_w,
+            "codecs": inner_chain,
+            "index_codecs": cfg.get("index_codecs",
+                                    [{"name": "bytes",
+                                      "configuration": {"endian": "little"}}]),
+            "index_location": cfg.get("index_location", "end"),
+        }
+        for c in shard["index_codecs"]:
+            if c.get("name") not in ("bytes", "crc32c"):
+                raise ValueError(
+                    f"unsupported shard index codec {c.get('name')!r}")
+        codecs = []  # shard decode owns the whole chain
+    else:
+        _check_v3_chain(codecs, is_vlen_str)
     fv = meta.get("fill_value")
     if isinstance(fv, str):  # v3 encodes non-finite floats as JSON strings
         fv = {"NaN": float("nan"), "Infinity": float("inf"),
@@ -158,7 +182,21 @@ def _normalize_v3_meta(meta: dict, array_dir: str) -> tuple[dict, dict]:
         "fill_value": fv,
         "v3_codecs": codecs, "v3_key_fmt": key_fmt,
     }
+    if shard is not None:
+        norm["v3_shard"] = shard
     return norm, dict(meta.get("attributes") or {})
+
+
+def _check_v3_chain(codecs: list, is_vlen_str: bool) -> None:
+    for c in codecs:
+        if c.get("name") == "bytes":
+            if c.get("configuration", {}).get("endian", "little") != "little":
+                raise ValueError("big-endian v3 bytes codec unsupported")
+        elif c.get("name") == "vlen-utf8":
+            if not is_vlen_str:
+                raise ValueError("vlen-utf8 codec on a non-string array")
+        elif c.get("name") not in ("gzip", "zstd", "blosc", "crc32c"):
+            raise ValueError(f"unsupported v3 codec {c.get('name')!r}")
 
 
 def _vlen_utf8_decode(raw: bytes) -> list:
@@ -257,6 +295,8 @@ def read_zarr_chunk(array_dir: str, meta: dict, chunk_idx: int) -> np.ndarray:
             fv = np.nan if dt.kind == "f" else "" if dt.kind in ("U", "O") else 0
         return np.full(count, fv, dtype=dt)
     if meta.get("zarr_format") == 3:
+        if "v3_shard" in meta:
+            return _decode_v3_shard(fs.read_bytes(path), meta, count, dt)
         raw = _decompress_v3(fs.read_bytes(path), meta["v3_codecs"])
         if dt.kind == "O":  # variable-length strings (vlen-utf8)
             return np.array(_vlen_utf8_decode(raw)[:count], dtype=object)
@@ -264,6 +304,55 @@ def read_zarr_chunk(array_dir: str, meta: dict, chunk_idx: int) -> np.ndarray:
         raw = _decompress(fs.read_bytes(path), meta.get("compressor"))
     # a stored chunk is always full chunk width; trim the tail chunk
     return np.frombuffer(raw, dtype=dt)[:count]
+
+
+_SHARD_MISSING = 2**64 - 1
+
+
+def _decode_v3_shard(raw: bytes, meta: dict, count: int, dt: np.dtype) -> np.ndarray:
+    """Decode one ZEP-2 shard: [inner chunk blobs…][(offset,nbytes)… index].
+
+    The index always covers the FULL shard grid (outer/inner chunks), even
+    in a tail shard; offsets are from the start of the shard object;
+    missing inner chunks are (2^64-1, 2^64-1) and decode to fill_value."""
+    cfg = meta["v3_shard"]
+    (cw,) = meta["chunks"]
+    inner = cfg["inner"]
+    n_inner = cw // inner
+    idx_size = 16 * n_inner
+    if any(c.get("name") == "crc32c" for c in cfg["index_codecs"]):
+        idx_size += 4
+    if cfg["index_location"] == "start":
+        idx_raw = raw[:idx_size]
+    else:
+        idx_raw = raw[-idx_size:]
+    # _decompress_v3 runs the index chain (bytes no-op + crc32c verify)
+    offsets = np.frombuffer(
+        _decompress_v3(idx_raw, cfg["index_codecs"]), dtype="<u8"
+    ).reshape(n_inner, 2)
+    fv = meta.get("fill_value")
+    if fv is None:
+        fv = np.nan if dt.kind == "f" else "" if dt.kind in ("U", "O") else 0
+    parts: list = []
+    for j in range(n_inner):
+        cnt_j = min(inner, count - j * inner)
+        if cnt_j <= 0:
+            break
+        off, nb = int(offsets[j, 0]), int(offsets[j, 1])
+        if off == _SHARD_MISSING:
+            if dt.kind == "O":
+                parts.extend([fv] * cnt_j)
+            else:
+                parts.append(np.full(cnt_j, fv, dtype=dt))
+            continue
+        blob = _decompress_v3(raw[off : off + nb], cfg["codecs"])
+        if dt.kind == "O":
+            parts.extend(_vlen_utf8_decode(blob)[:cnt_j])
+        else:
+            parts.append(np.frombuffer(blob, dtype=dt)[:cnt_j])
+    if dt.kind == "O":
+        return np.array(parts, dtype=object)
+    return np.concatenate(parts) if parts else np.empty(0, dtype=dt)
 
 
 def read_zarr_array(array_dir: str) -> np.ndarray:
@@ -358,9 +447,12 @@ class ZarrDatasetWriter:
     def __init__(self, chunk_rows: int = 100_000, order_by: list[str] | None = None,
                  attrs: dict | None = None, var_attrs: dict | None = None,
                  compressor: dict | None = {"id": "zlib", "level": 6},
-                 dim: str = "time", zarr_format: int = 2, checksum: bool = False):
+                 dim: str = "time", zarr_format: int = 2, checksum: bool = False,
+                 shards: int | None = None):
         if zarr_format not in (2, 3):
             raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
+        if shards is not None and (zarr_format != 3 or shards < 1):
+            raise ValueError("shards requires zarr_format=3 and shards >= 1")
         self.chunk_rows = chunk_rows
         self.order_by = list(order_by or [])
         self.attrs = dict(attrs or {})
@@ -369,6 +461,10 @@ class ZarrDatasetWriter:
         self.dim = dim
         self.zarr_format = zarr_format
         self.checksum = bool(checksum)  # v3 only: append a crc32c codec
+        # v3 sharding (ZEP 2): each stored object packs `shards` inner
+        # chunks of chunk_rows + an (offset,nbytes) index — object-store
+        # deployments want few large objects but small random-read chunks
+        self.shards = shards
 
     def _v3_codecs(self, string: bool = False) -> list[dict]:
         """self.compressor → a v3 codec chain (bytes — or vlen-utf8 for
@@ -457,6 +553,21 @@ class ZarrDatasetWriter:
                 dtype, extra = "<f8", {}
             if v3:
                 is_str = typ == "string"
+                codecs_meta = self._v3_codecs(string=is_str)
+                if self.shards:
+                    codecs_meta = [{
+                        "name": "sharding_indexed",
+                        "configuration": {
+                            "chunk_shape": [cw],
+                            "codecs": codecs_meta,
+                            "index_codecs": [
+                                {"name": "bytes",
+                                 "configuration": {"endian": "little"}},
+                                {"name": "crc32c", "configuration": {}},
+                            ],
+                            "index_location": "end",
+                        },
+                    }]
                 fs.makedirs(os.path.join(adir, "c"))
                 fs.write_text(os.path.join(adir, "zarr.json"), json.dumps(
                     {"zarr_format": 3, "node_type": "array",
@@ -464,12 +575,13 @@ class ZarrDatasetWriter:
                      "data_type": ("string" if is_str
                                    else "int64" if dtype == "<i8" else "float64"),
                      "chunk_grid": {"name": "regular",
-                                    "configuration": {"chunk_shape": [cw]}},
+                                    "configuration": {
+                                        "chunk_shape": [cw * (self.shards or 1)]}},
                      "chunk_key_encoding": {"name": "default",
                                             "configuration": {"separator": "/"}},
                      "fill_value": ("" if is_str
                                     else 0 if dtype == "<i8" else 0.0),
-                     "codecs": self._v3_codecs(string=is_str),
+                     "codecs": codecs_meta,
                      "dimension_names": [dim],
                      "attributes": {"_ARRAY_DIMENSIONS": [dim],
                                     **extra, **self.var_attrs.get(name, {})}}))
@@ -488,7 +600,10 @@ class ZarrDatasetWriter:
         # per chunk writes that chunk file for every column (executor-side).
         # The index rides along because a grouped pandas frame arrives in
         # arbitrary row order after the shuffle.
-        rdd = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], t[1], t[1] // cw))
+        shards = self.shards
+        outer_cw = cw * (shards or 1)  # stored-object width (shard or chunk)
+        rdd = ordered.rdd.zipWithIndex().map(
+            lambda t: (*t[0], t[1], t[1] // outer_cw))
         indexed = df.sparkSession.createDataFrame(
             rdd, ordered.schema.add("__idx", "long").add("__chunk", "long")
         )
@@ -500,23 +615,16 @@ class ZarrDatasetWriter:
                     if v3 and comp and comp.get("id") == "zlib" else comp)
         v3_b, checksum_b = v3, self.checksum
 
-        def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("__idx", ignore_index=True)
-            ci = int(pdf["__chunk"].iloc[0])
-            for name, typ in field_types.items():
-                col = pdf[name]
-                if v3_b and typ == "string":
-                    # variable-length strings: vlen-utf8 framing (padded to
-                    # full chunk width with "" like the fixed-width path)
-                    items = col.fillna("").tolist()
-                    items += [""] * (cw - len(items))
-                    payload = _compress(_vlen_utf8_encode(items), comp_eff, 1)
-                    if checksum_b:
-                        from ..compress.crc32c import crc32c
-
-                        payload += crc32c(payload).to_bytes(4, "little")
-                    fs.write_bytes(os.path.join(path, name, "c", str(ci)), payload)
-                    continue
+        def enc_inner(col, name: str, typ: str) -> bytes:
+            """Encode one full-width (cw) inner-chunk payload for a column
+            slice (tail padded), including the optional crc32c suffix."""
+            if v3_b and typ == "string":
+                # variable-length strings: vlen-utf8 framing (padded to
+                # full chunk width with "" like the fixed-width path)
+                items = col.fillna("").tolist()
+                items += [""] * (cw - len(items))
+                payload = _compress(_vlen_utf8_encode(items), comp_eff, 1)
+            else:
                 if typ == "timestamp":
                     from .cf import encode_cf_micros
 
@@ -533,10 +641,38 @@ class ZarrDatasetWriter:
                     arr = np.concatenate([arr, pad])
                 arr = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
                 payload = _compress(arr.tobytes(), comp_eff, arr.dtype.itemsize)
-                if v3_b and checksum_b:
+            if v3_b and checksum_b:
+                from ..compress.crc32c import crc32c
+
+                payload += crc32c(payload).to_bytes(4, "little")
+            return payload
+
+        def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__idx", ignore_index=True)
+            ci = int(pdf["__chunk"].iloc[0])
+            for name, typ in field_types.items():
+                col = pdf[name]
+                if shards:
+                    # ZEP-2 shard: inner payloads back to back, then the
+                    # full-grid (offset,nbytes) uint64 index + its crc32c
                     from ..compress.crc32c import crc32c
 
-                    payload += crc32c(payload).to_bytes(4, "little")
+                    blobs, index = [], np.full((shards, 2), _SHARD_MISSING,
+                                               dtype="<u8")
+                    pos = 0
+                    for j in range(shards):
+                        part = col.iloc[j * cw : (j + 1) * cw]
+                        if not len(part):
+                            break  # tail shard: rest of grid stays missing
+                        payload = enc_inner(part, name, typ)
+                        index[j] = (pos, len(payload))
+                        blobs.append(payload)
+                        pos += len(payload)
+                    idx_bytes = index.tobytes()
+                    idx_bytes += crc32c(idx_bytes).to_bytes(4, "little")
+                    payload = b"".join(blobs) + idx_bytes
+                else:
+                    payload = enc_inner(col, name, typ)
                 key = (os.path.join(path, name, "c", str(ci)) if v3_b
                        else os.path.join(path, name, str(ci)))
                 # fs is the DRIVER-resolved filesystem, pickled into the
@@ -550,9 +686,10 @@ class ZarrDatasetWriter:
         n_chunks_written = indexed.groupBy("__chunk").applyInPandas(
             write_chunk, "chunk long, rows long"
         ).count()
-        if n_chunks_written != -(-total // cw):
+        if n_chunks_written != -(-total // outer_cw):
             raise RuntimeError(
-                f"zarr write produced {n_chunks_written} chunks, expected {-(-total // cw)}"
+                f"zarr write produced {n_chunks_written} chunks, "
+                f"expected {-(-total // outer_cw)}"
             )
 
     __call__ = write
