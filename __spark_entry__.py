@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_contraction": Q.q_dedup_clusters_contraction,
         "clean_corpus": Q.q_clean_corpus,
         "fingerprint_winnow": Q.q_fingerprint_winnow,
+        "contamination_overlap": Q.q_contamination_overlap,
         "knn_cosine": Q.q_knn_cosine,
         "embedding_top1": Q.q_embedding_top1,
         "ann_lsh": Q.q_ann_lsh,

@@ -16,6 +16,7 @@ SUBSET = [
     "minhash_signatures",
     "repetition_signals",
     "m4_downsample",
+    "contamination_overlap",
     "neardup_cosine",
     "ivf_assign",
     "ivf_search",

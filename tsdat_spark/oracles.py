@@ -356,6 +356,27 @@ SELECT doc_id,
 FROM hs
 """
 
+ORACLES["contamination_overlap"] = _HASH_CTE + """, fp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(hv) - 3, 1)), i -> list_min(hv[i:i+3])))) AS fingerprint
+  FROM hs
+), fps AS (
+  SELECT f.doc_id, dd.source, f.fingerprint
+  FROM fp f JOIN documents dd USING (doc_id)
+), rare AS (
+  SELECT fingerprint FROM fps GROUP BY 1 HAVING count(DISTINCT doc_id) <= 50
+), fpr AS (
+  SELECT fps.* FROM fps JOIN rare USING (fingerprint)
+)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       l.source AS src_a, r.source AS src_b,
+       count(*) AS n_shared
+FROM fpr l JOIN fpr r ON l.fingerprint = r.fingerprint
+  AND l.doc_id < r.doc_id AND l.source <> r.source
+GROUP BY 1, 2, 3, 4
+HAVING count(*) >= 3
+"""
+
 ORACLES["jaccard_pairs"] = """
 WITH d AS (
   SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS toks

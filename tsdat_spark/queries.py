@@ -510,6 +510,55 @@ def q_fingerprint_winnow(spark, sf_dir):
     return winnow_fingerprints(d.select("doc_id", "text"), n=3, window=4)
 
 
+CONTAM_MAX_DF = 50      # fingerprints in more docs than this are stop-shingles
+CONTAM_MIN_SHARED = 3   # pairs must share at least this many fingerprints
+
+
+def q_contamination_overlap(spark, sf_dir):
+    """Cross-source contamination check — the winnowing use case end to
+    end (Schleimer et al. SIGMOD'03; the benchmark-decontamination step of
+    training-data pipelines): document pairs from DIFFERENT sources sharing
+    ≥ CONTAM_MIN_SHARED winnowed fingerprints, i.e. a guaranteed common
+    token substring per shared fingerprint.
+
+    Scale shape: fingerprint equi-join (never all-pairs) with ubiquitous
+    fingerprints (doc frequency > CONTAM_MAX_DF) dropped first — the
+    standard stop-shingle filter, which also bounds join fan-out/skew: no
+    fingerprint bucket exceeds CONTAM_MAX_DF² pair candidates."""
+    from .text.dedup import winnow_fingerprints
+
+    d = _documents(spark, sf_dir)
+    fp = winnow_fingerprints(d.select("doc_id", "text"), n=3, window=4).join(
+        d.select("doc_id", "source"), "doc_id")
+    # the fingerprint table feeds three consumers (df-count, both self-join
+    # sides); checkpoint it once so the char-hash winnow map runs ONE pass
+    # over the corpus instead of three (sf0.01 steady-state 6.2 s -> ~2 s)
+    fp = fp.localCheckpoint(eager=False)
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") <= CONTAM_MAX_DF)
+        .select("fingerprint")
+    )
+    fpr = fp.join(rare, "fingerprint")
+    l, r = fpr.alias("l"), fpr.alias("r")
+    return (
+        l.join(r, "fingerprint")
+        .where((F.col("l.doc_id") < F.col("r.doc_id"))
+               & (F.col("l.source") != F.col("r.source")))
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.source").alias("src_a"),
+            F.col("r.source").alias("src_b"),
+        )
+        # fingerprints are per-doc distinct (winnow output), so plain
+        # count == distinct count without the extra aggregation pass
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTER assignment — the step after candidate pairs that a
     dedup pipeline actually acts on: LSH candidate pairs → connected
