@@ -81,6 +81,8 @@ def main() -> None:
         # plan regressions in the LLM-ops operators are visible per round
         "lsh_pairs", "jaccard_pairs", "ann_lsh", "ann_lsh_multi",
         "dedup_clusters",
+        # round 5 late additions: plot downsample + text-quality/contamination
+        "m4_downsample", "repetition_signals", "contamination_overlap",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
@@ -146,7 +148,8 @@ def main() -> None:
     _r3_new = ("top_tokens", "distinct_tier_hll", "ivf_assign")
     _r4_new = ("ivf_search", "sample_stratified")
     _r5_new = ("lsh_pairs", "jaccard_pairs", "ann_lsh", "ann_lsh_multi",
-               "dedup_clusters")
+               "dedup_clusters", "m4_downsample", "repetition_signals",
+               "contamination_overlap")
     extra["suite_r02_comparable_sec"] = round(
         sum(v for k, v in timings.items() if k not in _r3_new + _r4_new + _r5_new), 3
     )
