@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": Q.q_text_quality,
         "lang_id": Q.q_lang_id,
         "repetition_signals": Q.q_repetition_signals,
+        "pii_scrub": Q.q_pii_scrub,
+        "line_dedup": Q.q_line_dedup,
+        "pack_sequences": Q.q_pack_sequences,
         "minhash_signatures": Q.q_minhash_signatures,
         "lsh_pairs": Q.q_lsh_pairs,
         "simhash16": Q.q_simhash16,

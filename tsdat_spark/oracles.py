@@ -825,3 +825,79 @@ SELECT role, date_trunc('day', ts) AS day_start,
        TRUE AS est_within_5pct
 FROM t GROUP BY 1, 2
 """
+
+# PII scrub: the same deterministic injection expression as the Spark side
+# (doc_id % 4 selects the span class), then per-type counts on the
+# pre-redaction text and a sequential redaction in declared order. The
+# patterns live in the RE2 ∩ java.util.regex common subset (see
+# text/pii.py) so both engines match identically.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+_PII_PHONE = "\\(\\d{3}\\) ?\\d{3}-\\d{4}"
+ORACLES["pii_scrub"] = f"""
+WITH inj AS (
+  SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+    WHEN 1 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+    WHEN 2 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE ' call (555) 867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+  END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    '{_PII_EMAIL}', '<EMAIL>', 'g'),
+    '{_PII_IPV4}', '<IP>', 'g'),
+    '{_PII_SSN}', '<SSN>', 'g'),
+    '{_PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+FROM inj
+"""
+
+# Corpus-level line dedup over 3-token chunk "lines": first occurrence
+# under (doc_id, line_idx) order survives, later duplicates drop; docs
+# reassemble from surviving lines in order.
+ORACLES["line_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+         array_to_string(t[(i*3+1):(i*3+3)], ' ') AS line
+  FROM toks, unnest(range(CAST(ceil(len(t) / 3.0) AS BIGINT))) AS r(i)
+), marked AS (
+  SELECT doc_id, line_idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1 AS keep
+  FROM lines
+)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE keep), '') AS text_clean
+FROM marked GROUP BY doc_id
+"""
+
+# Sequence packing: global prefix sum over doc_id order — the oracle uses
+# the single-reducer window formulation the engine exists to avoid; the
+# Spark side's two-phase distributed scan must agree exactly.
+ORACLES["pack_sequences"] = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM c
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 512 AS seq_id,
+       start_offset % 512 AS pos_in_seq,
+       (start_offset + greatest(n_tokens, 1) - 1) // 512 - start_offset // 512 + 1 AS n_spans
+FROM s
+"""

@@ -461,6 +461,43 @@ def q_repetition_signals(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact. The synthetic corpus carries no PII, so the
+    query injects one deterministic span per document (selected by
+    ``doc_id % 4``) with the SAME expression on both engines — the regex
+    detection/redaction machinery is what the oracle checks. Map-only."""
+    from .text.pii import pii_scrub
+
+    d = _documents(spark, sf_dir)
+    did = F.col("doc_id")
+    m = did % 4
+    snippet = (
+        F.when(m == 0, F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")))
+        .when(m == 1, F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".17")))
+        .when(m == 2, F.concat(F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")))
+        .otherwise(F.concat(F.lit(" call (555) 867-"), F.lpad((did % 10000).cast("string"), 4, "0")))
+    )
+    injected = d.select("doc_id", F.concat(F.col("text"), snippet).alias("text"))
+    return pii_scrub(injected)
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb corpus-level line dedup; lines are 3-token chunks of
+    the single-line synthetic docs (real corpora split on newline)."""
+    from .text.lines import chunk_tokens, line_dedup
+
+    d = _documents(spark, sf_dir)
+    return line_dedup(d, lines=chunk_tokens(F.col("text"), 3))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Distributed prefix-sum packing of docs into 512-token sequences."""
+    from .text.packing import pack_sequences
+
+    d = _documents(spark, sf_dir)
+    return pack_sequences(d, seq_len=512)
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-heuristic language id: 'en' iff ≥2% stopword tokens,
     else 'unknown' (deterministic n-gram-free heuristic)."""
