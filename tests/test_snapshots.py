@@ -86,3 +86,35 @@ def test_lineage_snapshot_id_stamp(spark, tmp_path):
     assert t.current_snapshot_id() != consumed   # new data -> re-trigger
     df = t.read(spark, snapshot_id=consumed)     # but the old run's input
     assert df.count() == 10                      # is still exactly readable
+
+
+def test_rollup_job_snapshot_short_circuit_and_incremental(spark, tmp_path):
+    """Two-level resume: unchanged snapshot id -> zero Spark work; a new
+    append re-triggers only via the normal per-day fingerprint path."""
+    from pyspark.sql import functions as F
+
+    from tsdat_spark.pipeline import run_rollup_job_snapshot
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select(F.col("user_id").cast("string").alias("conv_id"),
+                  F.lit("toolA").alias("tool"), F.lit("user").alias("role"),
+                  F.col("ts").cast("timestamp").alias("ts"),
+                  F.col("value"), F.lit(3).alias("token_len"),
+                  F.lit(1000).alias("latency_us")))
+    tbl = SnapshotTable(str(tmp_path / "in"))
+    tbl.append(ev.where(F.dayofmonth("ts") <= 5), timestamp=1.0)
+    out = str(tmp_path / "tiers")
+
+    r1 = run_rollup_job_snapshot(tbl, spark, out, tiers=("1h", "1d"))
+    assert r1.written_days and r1.metrics["snapshot_unchanged"] is False
+    assert r1.metrics["snapshot_id"] == 1
+
+    r2 = run_rollup_job_snapshot(tbl, spark, out, tiers=("1h", "1d"))
+    assert r2.metrics["snapshot_unchanged"] is True      # O(1): no Spark job
+    assert not r2.written_days
+
+    tbl.append(ev.where(F.dayofmonth("ts") == 6), timestamp=2.0)
+    r3 = run_rollup_job_snapshot(tbl, spark, out, tiers=("1h", "1d"))
+    assert r3.metrics["snapshot_unchanged"] is False
+    assert r3.written_days == ["2024-01-06"]             # only the new day
+    assert set(r3.skipped_days) >= {"2024-01-01", "2024-01-05"}

@@ -200,3 +200,53 @@ def run_rollup_job(
             .count()
         )
     return result
+
+
+def run_rollup_job_snapshot(
+    table,
+    spark,
+    out_root: str,
+    **kwargs,
+) -> RollupJobResult:
+    """Tier-cascade over a :class:`~tsdat_spark.io.snapshots.SnapshotTable`.
+
+    Two-level resume protocol (the north rule's Iceberg shape):
+
+    1. **O(1) table-level short-circuit**: the consumed snapshot id is
+       persisted at ``{out_root}/_consumed_snapshot.json``; when the
+       table's current snapshot hasn't moved, the job returns WITHOUT
+       launching any Spark work — no scan, no fingerprint job. Only a
+       snapshot commit can change table contents, so id equality is proof.
+    2. **Per-day fingerprint resume** (:func:`run_rollup_job`): when the
+       snapshot DID move, the content fingerprints recompute exactly the
+       affected day partitions — an append touching 2 days rebuilds 2
+       days, not the table.
+
+    The input is pinned to one snapshot id for the whole cascade, so a
+    concurrent append mid-job cannot tear the read; the marker is written
+    only after every tier committed (crash → next run redoes the cascade
+    against the same pinned state, and per-day manifests skip the done
+    work).
+    """
+    import json as _json
+
+    from .io.fs import get_filesystem
+
+    fs = get_filesystem(out_root)
+    marker = f"{out_root}/_consumed_snapshot.json"
+    sid = table.current_snapshot_id()
+    if sid is None:
+        return RollupJobResult(metrics={"snapshot_unchanged": False})
+    if fs.exists(marker):
+        prev = _json.loads(fs.read_text(marker))
+        if prev.get("snapshot_id") == sid and prev.get("table_root") == table.root:
+            r = RollupJobResult(metrics={"snapshot_unchanged": True,
+                                         "snapshot_id": sid})
+            return r
+    result = run_rollup_job(table.read(spark, sid), out_root, **kwargs)
+    result.metrics["snapshot_unchanged"] = False
+    result.metrics["snapshot_id"] = sid
+    fs.makedirs(out_root)
+    fs.write_text(marker, _json.dumps({"snapshot_id": sid,
+                                       "table_root": table.root}))
+    return result
