@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": Q.q_pii_scrub,
         "line_dedup": Q.q_line_dedup,
         "pack_sequences": Q.q_pack_sequences,
+        "bpe_train": Q.q_bpe_train,
         "minhash_signatures": Q.q_minhash_signatures,
         "lsh_pairs": Q.q_lsh_pairs,
         "simhash16": Q.q_simhash16,

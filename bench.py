@@ -83,8 +83,8 @@ def main() -> None:
         "dedup_clusters",
         # round 5 late additions: plot downsample + text-quality/contamination
         "m4_downsample", "repetition_signals", "contamination_overlap",
-        # round 5 corpus-preparation trio
-        "pii_scrub", "line_dedup", "pack_sequences",
+        # round 5 corpus-preparation trio + tokenizer training
+        "pii_scrub", "line_dedup", "pack_sequences", "bpe_train",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
@@ -152,7 +152,7 @@ def main() -> None:
     _r5_new = ("lsh_pairs", "jaccard_pairs", "ann_lsh", "ann_lsh_multi",
                "dedup_clusters", "m4_downsample", "repetition_signals",
                "contamination_overlap", "pii_scrub", "line_dedup",
-               "pack_sequences")
+               "pack_sequences", "bpe_train")
     extra["suite_r02_comparable_sec"] = round(
         sum(v for k, v in timings.items() if k not in _r3_new + _r4_new + _r5_new), 3
     )

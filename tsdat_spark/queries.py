@@ -498,6 +498,24 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(d, seq_len=512)
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge learning on the documents vocabulary.
+
+    Deterministic (count-desc then lexicographic tie-break) but genuinely
+    iterative — the merge chosen in round r depends on rounds 1..r-1 — so
+    there is intentionally NO oracle_sql entry (the driver records the
+    weaker rows-only check); exact parity vs a pure-Python reference of
+    the same spec is pinned in tests/test_bpe.py instead."""
+    from .text.bpe import train_bpe
+
+    d = _documents(spark, sf_dir)
+    merges = train_bpe(d, n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, merged string, weighted_count long",
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-heuristic language id: 'en' iff ≥2% stopword tokens,
     else 'unknown' (deterministic n-gram-free heuristic)."""

@@ -1,0 +1,162 @@
+"""Distributed BPE training and encoding (Sennrich et al. 2016, ACL —
+"Neural Machine Translation of Rare Words with Subword Units").
+
+Training works on the WORD VOCABULARY, not the corpus: one corpus-wide
+groupBy collapses 10^12 turns into (word, count) rows (Heaps' law keeps
+the vocabulary orders of magnitude smaller than the corpus), and every
+merge round after that touches only vocabulary rows. Each round is:
+
+1. explode each word's adjacent symbol pairs, weighted by word count —
+   a codegen'd ``transform`` + ``posexplode``;
+2. one partial-aggregated groupBy(pair) → weighted count;
+3. pick the winner with a DETERMINISTIC tie-break (max count, then
+   lexicographic pair) — ``orderBy(...).limit(1)``, a TakeOrdered that
+   never materializes the pair table on the driver;
+4. rewrite each word's symbol array with a greedy left-to-right fold
+   (one higher-order ``aggregate`` — no Python), and ``localCheckpoint``
+   every few rounds so the lineage stays flat across iterations.
+
+Encoding (``encode_bpe``) is the hot path at corpus scale, so it is an
+Arrow-batched ``mapInPandas`` running the classic rank-based merge loop
+per distinct word WITHIN a batch — each distinct word encodes once per
+batch and broadcasts to its occurrences, so the Python cost is per
+distinct word, not per token occurrence.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker (Sennrich's "</w>"), kept printable-ASCII-free of
+#: regex meaning so the symbol algebra stays plain string concatenation.
+EOW = "▁"
+
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the corpus — the one corpus-wide aggregation."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _merge_fold(a: str, b: str):
+    """Greedy left-to-right single-merge rewrite of a symbol array."""
+    merged = a + b
+
+    def step(acc, x):
+        can = (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b)
+        return F.when(
+            can,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return step
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` merges; returns [(left, right, weighted_count)]
+    in merge order. Stops early when no pair occurs twice."""
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != "")
+    vocab = word_vocab(df, text_col).withColumn(
+        "syms", F.concat(chars, F.array(F.lit(EOW)))
+    ).select("syms", "count").localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for r in range(n_merges):
+        pairs = vocab.where(F.size("syms") >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("a"),
+                        F.element_at("syms", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+            "count",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("count").alias("n"))
+            .orderBy(F.desc("n"), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        a, b, n = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["n"])
+        merges.append((a, b, n))
+        vocab = vocab.select(
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                _merge_fold(a, b),
+            ).alias("syms"),
+            "count",
+        )
+        if (r + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Driver-side reference encoder: classic lowest-rank-first merging."""
+    syms = list(word) + [EOW]
+    while len(syms) >= 2:
+        best, best_rank = None, None
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best, best_rank = i, rk
+        if best is None:
+            break
+        syms[best : best + 2] = [syms[best] + syms[best + 1]]
+    return syms
+
+
+def encode_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Corpus encoding with trained merges: Arrow-batched, each DISTINCT
+    word in a batch encodes once (then broadcasts to its occurrences)."""
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+    other = [c for c in df.columns if c != text_col]
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema if f.name != text_col
+    )
+    schema = (fields + ", " if fields else "") + \
+        f"{text_col} string, {out_col} array<string>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def enc_text(t: str) -> list[str]:
+            out: list[str] = []
+            for w in t.split():
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = encode_word(w, ranks)
+                out.extend(got)
+            return out
+
+        for b in batches:
+            b = b.copy()
+            b[out_col] = b[text_col].map(enc_text)
+            yield b[other + [text_col, out_col]]
+
+    return df.mapInPandas(run, schema)
