@@ -118,3 +118,31 @@ def test_rollup_job_snapshot_short_circuit_and_incremental(spark, tmp_path):
     assert r3.metrics["snapshot_unchanged"] is False
     assert r3.written_days == ["2024-01-06"]             # only the new day
     assert set(r3.skipped_days) >= {"2024-01-01", "2024-01-05"}
+
+
+def test_stream_append_snapshots(spark, tmp_path):
+    """Each micro-batch commits one snapshot; time travel sees the feed's
+    history and the rollup short-circuit works between batches."""
+    import pandas as pd
+
+    from tsdat_spark.streaming import stream_append_snapshots
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"conv_id": ["a", "b"], "v": [1, 2]}).to_parquet(src / "f1.parquet")
+    tbl = SnapshotTable(str(tmp_path / "tbl"))
+    q = stream_append_snapshots(
+        spark, str(src), "conv_id string, v bigint", tbl,
+        str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert tbl.read(spark).count() == 2
+    sid1 = tbl.current_snapshot_id()
+    assert tbl.snapshot(sid1).summary["stream_batch_id"] == 0
+
+    pd.DataFrame({"conv_id": ["c"], "v": [3]}).to_parquet(src / "f2.parquet")
+    q = stream_append_snapshots(
+        spark, str(src), "conv_id string, v bigint", tbl,
+        str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert tbl.read(spark).count() == 3           # only the new file landed
+    assert tbl.read(spark, sid1).count() == 2     # history intact

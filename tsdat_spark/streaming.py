@@ -435,3 +435,36 @@ def dedup_stream(
     # key is evicted once the watermark passes it even though the event-time
     # column is NOT part of the dedup key — the exact semantics above.
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
+
+
+def stream_append_snapshots(
+    spark: SparkSession,
+    source_path: str,
+    source_schema: str,
+    table,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Stream a file source into a snapshot-versioned table: each
+    micro-batch commits ONE snapshot (``io/snapshots.SnapshotTable``), so
+    downstream consumers get the Iceberg-style contract from a live feed —
+    readers pin a snapshot id mid-stream and never see a torn batch, and
+    ``run_rollup_job_snapshot``'s O(1) unchanged-check works between
+    micro-batches. Exactly-once composition: Structured Streaming's
+    checkpoint dedupes batch REPLAYS (a replayed batch_id is not re-sent
+    to the sink after commit), and the summary stamps batch_id so an
+    operator can audit the snapshot↔batch mapping.
+
+    Returns the StreamingQuery; callers own ``awaitTermination``.
+    """
+    stream = spark.readStream.schema(source_schema).parquet(source_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, summary={"stream_batch_id": batch_id})
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
