@@ -43,9 +43,16 @@ def main():
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
         p_close = probe()
         print(f"[calm_bench] closing probe {p_close:.2f}s", flush=True)
+        bench = json.loads(line[-1]) if line else None
+        # endpoint probes can miss mid-run throttling (measured: open 1.9s /
+        # close 0.4s around a 4x-starved suite) — also gate on the bench's
+        # OWN in-run probe, which runs between the query timings.
+        p_mid = (bench or {}).get("extra", {}).get("host_probe_sort10m_sec")
         rec = {"opening_probe_s": round(p_open, 2), "closing_probe_s": round(p_close, 2),
-               "accepted": p_close <= thresh and bool(line),
-               "bench": json.loads(line[-1]) if line else None,
+               "inbench_probe_s": p_mid,
+               "accepted": p_close <= thresh and bool(line)
+               and (p_mid is None or p_mid <= thresh),
+               "bench": bench,
                "stderr_tail": r.stderr[-500:] if not line else ""}
         attempts.append(rec)
         with open(out, "w") as f:
