@@ -65,6 +65,10 @@ def test_train_matches_reference_exactly(spark):
     got = train_bpe(_docs(spark, CORPUS), n_merges=12)
     want = _ref_train(CORPUS, 12)
     assert got == want
+    # the distributed rounds (forced past the bounded driver path) must
+    # produce the identical merge sequence
+    dist = train_bpe(_docs(spark, CORPUS), n_merges=12, driver_vocab_limit=0)
+    assert dist == want
     assert len(got) >= 8                      # the corpus supports many merges
     # the classic Sennrich demo: 'newest' dominates, 'es' merges early
     assert ("e", "s") in [(a, b) for a, b, _ in got[:4]]

