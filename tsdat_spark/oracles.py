@@ -887,12 +887,15 @@ FROM marked GROUP BY doc_id
 ORACLES["pack_sequences"] = """
 WITH c AS (
   SELECT doc_id,
-         CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+         CAST(COALESCE(len(list_filter(string_split(text, ' '), x -> x != '')), 0) AS BIGINT) AS n_tokens
   FROM documents
 ), s AS (
+  -- CAST: DuckDB's SUM(BIGINT) is HUGEINT, which pandas renders as
+  -- float64 and the dtype-sensitive hash gate sees 3.0 vs Spark's 3.
   SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
   FROM c
 )
 SELECT doc_id, n_tokens, start_offset,

@@ -36,8 +36,14 @@ from pyspark.sql import functions as F
 
 
 def ws_token_count(text: Column) -> Column:
-    """Whitespace token count (the corpus' cheap length proxy)."""
-    return F.size(F.filter(F.split(text, " "), lambda x: x != "")).cast("long")
+    """Whitespace token count (the corpus' cheap length proxy).
+
+    NULL text counts as 0 tokens (``F.size`` of a null array is -1 in
+    non-ANSI mode, which would silently shift every later doc's global
+    offset); the oracle mirrors this with ``COALESCE(..., 0)``.
+    """
+    n = F.size(F.filter(F.split(text, " "), lambda x: x != ""))
+    return F.when(text.isNull(), F.lit(0)).otherwise(n).cast("long")
 
 
 def pack_sequences(
