@@ -579,3 +579,57 @@ def test_sessionize_eventtime_random_disorder_matches_batch(spark, tmp_path, see
             F.max("ts").alias("en"), F.sum("token_len").alias("tk")).collect()
     }
     assert got == exp, (got, exp)
+
+
+def test_sessionize_eventtime_counter_ttl_evicts_state(spark, tmp_path):
+    """ADVICE r5: counter-only state must not grow forever with distinct
+    conv_ids. A conversation quiet past ``counter_ttl_s`` has its counter
+    evicted by the event-time timeout; resuming past the TTL restarts
+    session_idx at 0 (the documented trade for bounded state)."""
+    import datetime as dt
+
+    from tsdat_spark.streaming import sessionize_stream_eventtime
+
+    base = dt.datetime(2024, 4, 5)
+    ddl = "conv_id string, turn_idx int, ts timestamp, token_len int"
+    src = str(tmp_path / "ttl_src")
+    s0 = [("t0", i, base + dt.timedelta(minutes=i), 1) for i in range(3)]
+    spark.createDataFrame(s0, ddl).write.mode("overwrite").parquet(src)
+    q = (
+        sessionize_stream_eventtime(
+            spark.readStream.schema(ddl).parquet(src), gap_s=1800,
+            watermark="10 minutes", counter_ttl_s=3600,
+        )
+        .writeStream.format("memory").queryName("ttl_sessions")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # another key pushes the watermark past t0's close → flush, counter kept
+    spark.createDataFrame(
+        [("t1", 0, base + dt.timedelta(hours=5), 1)], ddl
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # ... and then far past the 1h counter TTL → counter state evicted
+    spark.createDataFrame(
+        [("t1", 1, base + dt.timedelta(hours=12), 1)], ddl
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # t0 resumes past the TTL; close its new session via the watermark
+    s1 = [("t0", 10, base + dt.timedelta(hours=12, minutes=5), 2)]
+    spark.createDataFrame(s1, ddl).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    spark.createDataFrame(
+        [("t1", 2, base + dt.timedelta(hours=24), 1)], ddl
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = sorted(
+        (r for r in spark.sql("select * from ttl_sessions").collect()
+         if r["conv_id"] == "t0"),
+        key=lambda r: r["session_start"],
+    )
+    # both sessions emitted; the second restarted at idx 0 (TTL contract)
+    assert [r["session_idx"] for r in rows] == [0, 0], rows
+    assert rows[0]["n_turns"] == 3 and rows[1]["n_turns"] == 1

@@ -275,6 +275,7 @@ def sessionize_stream_eventtime(
     ts_col: str = "ts",
     token_col: str = "token_len",
     watermark: str = "1 hour",
+    counter_ttl_s: int = 30 * 86400,
 ):
     """Disorder-tolerant streaming sessionization: the opt-in variant that
     LIFTS :func:`sessionize_stream`'s per-key ordered-batches arrival
@@ -298,7 +299,13 @@ def sessionize_stream_eventtime(
     ``last + gap`` (no admissible turn can extend it). Quiet conversations
     are flushed by an event-time TIMEOUT armed at the earliest possible
     close; turns older than the watermark are dropped by Spark before the
-    operator, which is what bounds state. The trade vs the ordered path:
+    operator, which is what bounds fragment state. Emitted-counter state
+    (kept after all fragments close so a resuming conversation continues
+    its session_idx) is bounded separately by ``counter_ttl_s``: an
+    event-time TTL evicts counters quiet longer than the TTL, and a
+    conversation resuming past it restarts numbering at 0 — state size
+    therefore tracks conversations active within the TTL window, never
+    all conv_ids ever seen. The trade vs the ordered path:
     emission latency ≥ the watermark delay, and per-key state is a fragment
     list instead of one tuple.
     """
@@ -342,12 +349,20 @@ def sessionize_stream_eventtime(
             for p in pdfs:  # pragma: no cover - iterator must be drained
                 pass
 
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
         if not frags:
-            if emitted:
+            if emitted and not state.hasTimedOut:
                 # keep the counter so a resumed conversation continues
-                # session_idx instead of restarting at 0
+                # session_idx instead of restarting at 0 — but bounded:
+                # re-arm the TTL so a permanently-quiet conversation's
+                # counter is eventually evicted (state can't grow forever
+                # with distinct conv_ids).
                 state.update(([], [], [], [], emitted))
+                state.setTimeoutTimestamp(wm_us // 1000 + counter_ttl_s * 1000)
             else:
+                # never emitted, or the counter TTL expired: drop the state
+                # (a conversation resuming past the TTL restarts at idx 0)
                 state.remove()
             return
 
@@ -363,7 +378,6 @@ def sessionize_stream_eventtime(
             else:
                 merged.append([s, l, n, t])
 
-        wm_us = state.getCurrentWatermarkMs() * 1000
         closed = [f for f in merged if f[1] + gap_us < wm_us]
         still_open = [f for f in merged if f[1] + gap_us >= wm_us]
 
@@ -377,11 +391,15 @@ def sessionize_stream_eventtime(
             state.setTimeoutTimestamp(min(f[1] for f in still_open) // 1000 + gap_s * 1000 + 1)
         else:
             # all fragments closed: keep ONLY the emitted counter (empty
-            # fragment arrays, no timeout armed) so a conversation that
-            # goes quiet and later resumes keeps its stable per-conversation
-            # session_idx — the exactly-once numbering contract. Mirrors the
-            # ordered sessionize_stream, which never drops its counter.
+            # fragment arrays) so a conversation that goes quiet and later
+            # resumes keeps its stable per-conversation session_idx — the
+            # exactly-once numbering contract, mirroring the ordered
+            # sessionize_stream. The counter-only state is TTL-bounded: a
+            # timeout ``counter_ttl_s`` past the watermark evicts it (see
+            # the empty-frags branch), so state size tracks conversations
+            # active within the TTL window, not all conv_ids ever seen.
             state.update(([], [], [], [], emitted + len(closed)))
+            state.setTimeoutTimestamp(wm_us // 1000 + counter_ttl_s * 1000)
 
         if closed:
             yield pd.DataFrame(
