@@ -263,10 +263,13 @@ def _huf_read_weights(src: bytes) -> tuple[list[int], int]:
     s1 = bb.read(al)
     s2 = bb.read(al)
     weights: list[int] = []
-    while True:
+    while len(weights) < 256:
         # emit, UPDATE, then check exhaustion — when a state update reads
         # past the stream start, the OTHER state flushes its symbol and
-        # decoding stops (RFC 8878 interleaved two-state FSE)
+        # decoding stops (RFC 8878 interleaved two-state FSE). The 256
+        # bound turns a pathological zero-bit state cycle (a weight with
+        # probability > tableSize/2 pinned at exhaustion) into the
+        # too-many-weights error below instead of a hang.
         weights.append(syms[s1])
         s1 = bases[s1] + bb.read(nbs[s1])
         if bb.pos < 0:
@@ -420,7 +423,9 @@ def _decode_block(block: bytes, out: bytearray, st: _FrameState) -> None:
     elif b < 255:
         nseq, off = ((b - 128) << 8) | block[off + 1], off + 2
     else:
-        nseq, off = block[off + 1] | (block[off + 2] << 8) | 0x7F00, off + 3
+        # longNbSeqs = byte1 + (byte2<<8) + 0x7F00 — ADDITION, not OR: an
+        # OR corrupts counts >= 0x8000 (reachable: 128 KiB / 3 B > 0x7FFF)
+        nseq, off = (block[off + 1] | (block[off + 2] << 8)) + 0x7F00, off + 3
     if nseq == 0:
         out += literals
         return
