@@ -19,10 +19,10 @@ RFC 8878 ("Zstandard Compression and the 'application/zstd' Media Type"):
   Repeat), the RFC's predefined LL/ML/OF distributions, repeated-offset
   history incl. the literals_length==0 shift, overlapping match copies.
 
-Encode side is store-mode only (:func:`zstd_compress`: raw/RLE blocks,
-valid frames with no entropy coding — writers needing real compression
-emit gzip/blosc); attempting to read a dictionary frame raises a named
-error.
+Encode side lives in :mod:`.zstd_enc` (LZ77 + Huffman literals +
+Predefined-FSE sequences; :func:`zstd_compress` delegates, and
+:func:`zstd_compress_store` keeps the raw/RLE store-mode posture).
+Attempting to read a dictionary frame raises a named error.
 
 Performance shape: decoding runs inside Spark tasks (one chunk per task),
 so the per-byte Python cost is distributed; the bit readers are O(1) per
@@ -497,12 +497,21 @@ def _decode_block(block: bytes, out: bytearray, st: _FrameState) -> None:
 
 
 def zstd_compress(data: bytes) -> bytes:
+    """Encode one RFC 8878 frame. Entropy-coded (LZ77 + Huffman literals +
+    Predefined-FSE sequences, :mod:`.zstd_enc`) — zstd-selected writes
+    actually compress; per block the cheapest of Raw / RLE / Compressed
+    wins, so output never exceeds store mode."""
+    from .zstd_enc import compress
+
+    return compress(data)
+
+
+def zstd_compress_store(data: bytes) -> bytes:
     """Store-mode encoder: one valid RFC 8878 frame of raw/RLE blocks —
     no entropy coding, so any zstd decoder (including this module's)
-    reads it. The same write posture as blosc ``store_mode='raw'``: the
-    engine's sinks stay interoperable with zstd-defaulting tooling
-    (zarr-python 3, HDF5 plugin 32015) without a native encoder; uniform
-    runs still shrink via RLE blocks."""
+    reads it. Kept as the guaranteed-linear-cost fallback posture (the
+    same as blosc ``store_mode='raw'``); uniform runs still shrink via
+    RLE blocks."""
     n = len(data)
     # single-segment frame header with the smallest FCS field that fits
     if n <= 255:
