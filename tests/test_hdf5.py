@@ -263,3 +263,44 @@ def test_hdf5_roundtrip_property(n, n_float, n_int, n_str, chunked, seed):
             assert list(got) == list(a)
         else:
             assert np.array_equal(got.astype(a.dtype), a), name
+
+
+def test_dense_links_multilevel_btree_roundtrip():
+    """Round 5's last read boundary — v2 B-tree depth >= 2 — is gone:
+    a dense group whose link-name index is a genuine depth-2 tree
+    (small node_size forces real BTIN levels) reads back exactly.
+    Reference shape: tsdat reads such groups through netcdf4/HDF5; here
+    both sides are from-spec (hdf5_write._btree_v2_blob multi-level +
+    hdf5._btree_v2_records any-depth walk)."""
+    import struct as _struct
+
+    n_vars = 50
+    cols = {"time": np.arange(120).astype("datetime64[us]")}
+    for i in range(n_vars):
+        cols[f"var_{i:03d}"] = (np.arange(120) * (i + 1)).astype("<f8")
+    blob = write_hdf5(cols, dim="time", dense_links=True, btree_node_size=88)
+    at = blob.find(b"BTHD")
+    assert _struct.unpack_from("<H", blob, at + 12)[0] >= 2  # real depth
+    dims, _gattrs, vs = read_hdf5(blob)
+    assert dims == {"time": 120}
+    for i in range(n_vars):
+        name = f"var_{i:03d}"
+        assert np.array_equal(vs[name]["array"], cols[name]), name
+
+
+def test_btree_v2_every_depth_walks_in_order():
+    """The generalized walk yields hash-ordered records at depths 0-4
+    (capacity formulas per HDF5 spec III.A.2 / H5B2 header init)."""
+    import struct as _struct
+
+    from tsdat_spark.io.hdf5 import _btree_v2_records
+    from tsdat_spark.io.hdf5_write import _btree_v2_blob
+
+    for node_size, n, want_depth in [(512, 3, 0), (88, 10, 1), (88, 40, 2),
+                                     (88, 200, 3), (88, 1500, 4)]:
+        recs = [_struct.pack("<I", i) + bytes([i % 251]) * 7
+                for i in range(n)]
+        hdr, nodes = _btree_v2_blob(recs, 11, 5, 4096, node_size)
+        data = b"\x00" * 4096 + hdr + nodes
+        assert _struct.unpack_from("<H", hdr, 12)[0] == want_depth
+        assert list(_btree_v2_records(data, 4096)) == recs

@@ -10,10 +10,11 @@ latest/_f_m_t3.html) that NetCDF-4 writers actually produce:
 - object headers v1 and v2 (``OHDR``/``OCHK``), message continuation
 - groups as v1 symbol tables (``TREE``/``HEAP``/``SNOD``), v2 compact
   Link messages, AND dense storage (fractal heap ``FRHP``/``FHDB``/
-  ``FHIB`` + v2 B-tree ``BTHD``/``BTLF``/``BTIN`` name index, depth ≤ 1)
-  for both links and attributes — the 'new style' shape netcdf-c emits
-  past 8 links per group; huge/tiny heap objects, filtered heaps, and
-  deeper B-trees raise named boundaries
+  ``FHIB`` + v2 B-tree ``BTHD``/``BTLF``/``BTIN`` name index, ANY depth
+  via the spec's per-level child-pointer capacity formulas) for both
+  links and attributes — the 'new style' shape netcdf-c emits past 8
+  links per group; huge/tiny heap objects and filtered heaps raise
+  named boundaries
 - dataspace v1/v2; datatypes: fixed-point, IEEE float, fixed string,
   object reference, VLEN (string and reference sequence)
 - data layouts: compact, contiguous, v3 chunked (B-tree v1) and v4
@@ -455,9 +456,36 @@ def _fractal_heap_resolver(data, addr):
     return resolve, heap_id_len
 
 
+def _btree_v2_capacities(node_size: int, rec_size: int, depth: int):
+    """Per-level v2 B-tree capacities (HDF5 spec III.A.2, mirroring
+    H5B2 header init): returns (max_nrec_size, cum_max_nrec_size[level])
+    where level 0 is the leaf. Child pointers to level u-1 nodes are
+    ``8 + max_nrec_size + cum_max_nrec_size[u-1]`` bytes (the cumulative
+    subtree count is only stored when the child is internal)."""
+
+    def enc_size(n: int) -> int:  # H5VM_limit_enc_size
+        return (n.bit_length() - 1) // 8 + 1 if n else 1
+
+    max_leaf = (node_size - 10) // rec_size
+    max_nrec_size = enc_size(max_leaf)  # leaf capacity is the largest
+    max_nrec = [max_leaf]
+    cum_max = [max_leaf]
+    cum_size = [0]
+    for u in range(1, depth + 1):
+        ptr = 8 + max_nrec_size + cum_size[u - 1]
+        mn = (node_size - (10 + ptr)) // (rec_size + ptr)
+        cm = (mn + 1) * cum_max[u - 1] + mn
+        max_nrec.append(mn)
+        cum_max.append(cm)
+        cum_size.append(enc_size(cm))
+    return max_nrec_size, max_nrec, cum_max, cum_size
+
+
 def _btree_v2_records(data, addr):
-    """Iterate raw records of a v2 B-tree (``BTHD``). Depth 0 and 1
-    supported (leaf and one internal level) — beyond raises."""
+    """Iterate raw records of a v2 B-tree (``BTHD``) in key order at any
+    depth: internal (``BTIN``) nodes interleave child subtrees with
+    separator records; child-pointer widths follow the per-level
+    capacity formulas in :func:`_btree_v2_capacities`."""
     if data[addr : addr + 4] != b"BTHD":
         raise ValueError(f"expected BTHD at {addr}")
     node_size = struct.unpack_from("<I", data, addr + 6)[0]
@@ -465,39 +493,34 @@ def _btree_v2_records(data, addr):
     depth = struct.unpack_from("<H", data, addr + 12)[0]
     root = _u(data, addr + 16, 8)
     root_nrec = struct.unpack_from("<H", data, addr + 24)[0]
+    max_nrec_size, _mx, _cm, cum_size = _btree_v2_capacities(
+        node_size, rec_size, depth)
 
-    def leaf(at, nrec):
-        if data[at : at + 4] != b"BTLF":
-            raise ValueError(f"expected BTLF at {at}")
-        p = at + 6
-        for _ in range(nrec):
-            yield data[p : p + rec_size]
-            p += rec_size
+    def walk(at, nrec, d):
+        if d == 0:
+            if data[at : at + 4] != b"BTLF":
+                raise ValueError(f"expected BTLF at {at}")
+            p = at + 6
+            for _ in range(nrec):
+                yield data[p : p + rec_size]
+                p += rec_size
+            return
+        if data[at : at + 4] != b"BTIN":
+            raise ValueError(f"expected BTIN at {at}")
+        rp = at + 6
+        p = rp + nrec * rec_size
+        step = 8 + max_nrec_size + cum_size[d - 1]
+        children = []
+        for _ in range(nrec + 1):
+            children.append((_u(data, p, 8), _u(data, p + 8, max_nrec_size)))
+            p += step  # cumulative subtree counts are not needed to walk
+        for i, (caddr, cnrec) in enumerate(children):
+            yield from walk(caddr, cnrec, d - 1)
+            if i < nrec:
+                yield data[rp : rp + rec_size]
+                rp += rec_size
 
-    if depth == 0:
-        yield from leaf(root, root_nrec)
-        return
-    if depth > 1:
-        raise Hdf5Boundary(f"v2 B-tree depth {depth}")
-    # one internal level: records then child pointers (addr + nrec field)
-    if data[root : root + 4] != b"BTIN":
-        raise ValueError(f"expected BTIN at {root}")
-    max_leaf_rec = (node_size - 10) // rec_size
-    nrec_field = (max_leaf_rec.bit_length() + 7) // 8
-    p = root + 6 + root_nrec * rec_size
-    children = []
-    for _ in range(root_nrec + 1):
-        caddr = _u(data, p, 8)
-        p += 8
-        cnrec = _u(data, p, nrec_field)
-        p += nrec_field
-        children.append((caddr, cnrec))
-    rp = root + 6
-    for i, (caddr, cnrec) in enumerate(children):
-        yield from leaf(caddr, cnrec)
-        if i < root_nrec:
-            yield data[rp : rp + rec_size]
-            rp += rec_size
+    yield from walk(root, root_nrec, depth)
 
 
 # -- group traversal --------------------------------------------------------

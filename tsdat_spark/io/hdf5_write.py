@@ -124,25 +124,110 @@ def _fractal_heap_blob(objects: list[bytes], frhp_at: int, heap_id_len: int):
     return bytes(frhp), bytes(dblk), heap_ids
 
 
+def _btree_v2_plan(n: int, rec_size: int, node_size: int):
+    """Tree shape for n records at a fixed node size: (depth, max_nrec
+    per level, cum_size per level, max_nrec_size) — the same capacity
+    formulas the reader uses (``hdf5._btree_v2_capacities``)."""
+    from .hdf5 import _btree_v2_capacities
+
+    depth = 0
+    while True:
+        max_nrec_size, max_nrec, cum_max, cum_size = _btree_v2_capacities(
+            node_size, rec_size, depth)
+        if n <= cum_max[depth]:
+            return depth, max_nrec, cum_size, max_nrec_size
+        depth += 1
+        if depth > 8:
+            raise ValueError("v2 B-tree would exceed depth 8")
+
+
 def _btree_v2_blob(records: list[bytes], rec_size: int, btype: int,
-                   bthd_at: int):
-    """Depth-0 v2 B-tree: BTHD header + one BTLF leaf right after it.
-    ``records`` must already be hash-ordered."""
-    btlf_at = bthd_at + _BTHD_SIZE
-    leaf = bytearray(b"BTLF" + struct.pack("<BB", 0, btype))
+                   bthd_at: int, node_size: int | None = None):
+    """v2 B-tree: BTHD header + nodes laid sequentially after it.
+    ``records`` must already be hash-ordered. With ``node_size=None`` the
+    tree is a single leaf grown to fit (the shape netcdf-c-sized groups
+    take); an explicit node_size builds a genuine multi-level tree —
+    every node occupies exactly node_size bytes on disk, records split
+    evenly, separators promoted per level (HDF5 spec III.A.2)."""
     for r in records:
         assert len(r) == rec_size
-        leaf += r
-    leaf += struct.pack("<I", _lookup3(bytes(leaf)))
-    node_size = 512
-    while node_size < len(leaf):
-        node_size *= 2
+    if node_size is None:
+        btlf_at = bthd_at + _BTHD_SIZE
+        leaf = bytearray(b"BTLF" + struct.pack("<BB", 0, btype))
+        for r in records:
+            leaf += r
+        leaf += struct.pack("<I", _lookup3(bytes(leaf)))
+        ns = 512
+        while ns < len(leaf):
+            ns *= 2
+        hdr = bytearray(b"BTHD")
+        hdr += struct.pack("<BBIHHBBQHQ", 0, btype, ns, rec_size, 0,
+                           100, 40, btlf_at, len(records), len(records))
+        hdr += struct.pack("<I", _lookup3(bytes(hdr)))
+        assert len(hdr) == _BTHD_SIZE
+        return bytes(hdr), bytes(leaf)
+
+    depth, max_nrec, cum_size, max_nrec_size = _btree_v2_plan(
+        len(records), rec_size, node_size)
+    nodes: list[bytes] = []  # rendered bottom-up; addresses assigned after
+
+    from .hdf5 import _btree_v2_capacities
+
+    cum_max = _btree_v2_capacities(node_size, rec_size, depth)[2]
+
+    def build(recs: list[bytes], d: int) -> tuple[int, int, int]:
+        """Returns (node_index, records in this node, records in subtree)."""
+        if d == 0:
+            if len(recs) > max_nrec[0]:
+                raise ValueError("leaf overflow in v2 B-tree plan")
+            blob = bytearray(b"BTLF" + struct.pack("<BB", 0, btype))
+            for r in recs:
+                blob += r
+            blob += struct.pack("<I", _lookup3(bytes(blob)))
+            nodes.append(bytes(blob))
+            return len(nodes) - 1, len(recs), len(recs)
+        # children get even shares of the records; one separator between
+        child_cap = cum_max[d - 1]
+        c = max(2, -(-(len(recs) + 1) // (child_cap + 1)))
+        if c - 1 > max_nrec[d]:
+            raise ValueError("internal overflow in v2 B-tree plan")
+        body = len(recs) - (c - 1)
+        share, extra = divmod(body, c)
+        children: list[tuple[int, int, int]] = []
+        seps: list[bytes] = []
+        pos = 0
+        for k in range(c):
+            take = share + (1 if k < extra else 0)
+            children.append(build(recs[pos : pos + take], d - 1))
+            pos += take
+            if k < c - 1:
+                seps.append(recs[pos])
+                pos += 1
+        blob = bytearray(b"BTIN" + struct.pack("<BB", 0, btype))
+        for s in seps:
+            blob += s
+        for idx, own_nrec, total in children:
+            blob += struct.pack("<Q", bthd_at + _BTHD_SIZE + idx * node_size)
+            blob += own_nrec.to_bytes(max_nrec_size, "little")
+            if d - 1 > 0:  # cumulative subtree count, internal children only
+                blob += total.to_bytes(cum_size[d - 1], "little")
+        blob += struct.pack("<I", _lookup3(bytes(blob)))
+        nodes.append(bytes(blob))
+        return len(nodes) - 1, len(seps), len(recs)
+
+    root_idx, root_nrec, _total = build(list(records), depth)
+    out = bytearray()
+    for nd in nodes:
+        if len(nd) > node_size:
+            raise ValueError("v2 B-tree node exceeds node_size")
+        out += nd + b"\x00" * (node_size - len(nd))
     hdr = bytearray(b"BTHD")
-    hdr += struct.pack("<BBIHHBBQHQ", 0, btype, node_size, rec_size, 0,
-                       100, 40, btlf_at, len(records), len(records))
+    hdr += struct.pack("<BBIHHBBQHQ", 0, btype, node_size, rec_size, depth,
+                       100, 40, bthd_at + _BTHD_SIZE + root_idx * node_size,
+                       root_nrec, len(records))
     hdr += struct.pack("<I", _lookup3(bytes(hdr)))
     assert len(hdr) == _BTHD_SIZE
-    return bytes(hdr), bytes(leaf)
+    return bytes(hdr), bytes(out)
 
 
 def _msg(mtype: int, body: bytes) -> bytes:
@@ -238,6 +323,7 @@ def write_hdf5(
     dense_links: bool = False,
     dense_attrs: bool = False,
     codec: str = "deflate",
+    btree_node_size: int | None = None,
 ) -> bytes:
     """Serialize aligned 1-D columns into one HDF5/NetCDF-4-style file.
 
@@ -247,7 +333,9 @@ def write_hdf5(
     (the dimension scale stays contiguous, like netcdf-c); ``codec``
     selects shuffle+deflate (default), ``"bitshuffle_lz4"`` (registered
     filter 32008 with its LZ4 framing), or ``"zstd"`` (shuffle +
-    registered filter 32015, store-mode frames)."""
+    registered filter 32015). ``btree_node_size`` forces the dense link
+    index into a real multi-level v2 B-tree of that node size (None →
+    single grown leaf, the netcdf-c-sized shape)."""
     if codec not in ("deflate", "bitshuffle_lz4", "zstd"):
         raise ValueError(f"unknown codec {codec!r}")
     global_attrs = dict(global_attrs or {})
@@ -299,7 +387,11 @@ def write_hdf5(
             dblock_size_l *= 2
         off_frhp_l = 96
         off_bthd_l = off_frhp_l + _FRHP_SIZE + dblock_size_l
-        btlf_size_l = 6 + 11 * len(names) + 4
+        if btree_node_size is None:
+            btlf_size_l = 6 + 11 * len(names) + 4
+        else:  # dry-run plan: node count depends only on the record count
+            btlf_size_l = len(_btree_v2_blob([b"\x00" * 11] * len(names),
+                                             11, 5, 0, btree_node_size)[1])
         cursor0 = off_bthd_l + _BTHD_SIZE + btlf_size_l
         root_msgs = [_msg(0x02, struct.pack("<BBQQ", 0, 0, off_frhp_l, off_bthd_l))]
         if dense_attrs:
@@ -511,7 +603,8 @@ def write_hdf5(
             key=lambda t: t[0],
         )
         recs = [struct.pack("<I", h) + hid for h, hid in pairs]
-        bthd, btlf = _btree_v2_blob(recs, 11, 5, off_bthd_l)
+        bthd, btlf = _btree_v2_blob(recs, 11, 5, off_bthd_l,
+                                    btree_node_size)
         for at, blob in ((off_frhp_l, frhp), (off_frhp_l + _FRHP_SIZE, dblk),
                          (off_bthd_l, bthd), (off_bthd_l + _BTHD_SIZE, btlf)):
             buf[at : at + len(blob)] = blob
