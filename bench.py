@@ -142,6 +142,39 @@ def main() -> None:
     extra["cold_encode_points_per_sec"] = round((stats[0] or 0) / max(timings["cold_encode"], 1e-9), 1)
     extra["cold_bytes_per_point"] = round((stats[1] or 1) / max(stats[0] or 1, 1), 2)
 
+    def stage_zstd():
+        # round 6: entropy-coded zstd encode+decode inside Spark tasks
+        # (the zarr/HDF5 sink path) — one ~128 KiB jsonl-ish chunk per task
+        import pandas as pd
+
+        from tsdat_spark.compress.zstd import zstd_compress, zstd_decompress
+
+        blob = "".join(
+            '{"ts":%d,"conv_id":"c%d","role":"assistant","text":"turn %d"}\n'
+            % (1_724_000_000 + i, i % 97, i * 7) for i in range(2200)
+        ).encode()
+
+        def work(it):
+            for pdf in it:
+                rows = []
+                for _ in pdf["id"]:
+                    enc = zstd_compress(blob)
+                    assert zstd_decompress(enc) == blob
+                    rows.append((len(blob), len(enc)))
+                yield pd.DataFrame(rows, columns=["raw", "enc"])
+
+        counts["zstd"] = (
+            spark.range(cpus * 2).repartition(cpus)
+            .mapInPandas(work, "raw long, enc long")
+            .agg(F.sum("raw"), F.sum("enc")).first()
+        )
+
+    run("zstd_codec", stage_zstd)
+    zraw, zenc = counts["zstd"]
+    extra["zstd_roundtrip_mb_per_sec"] = round(
+        (zraw or 0) / 1e6 / max(timings["zstd_codec"], 1e-9), 2)
+    extra["zstd_ratio"] = round((zenc or 1) / max(zraw or 1, 1), 4)
+
 
     total = round(sum(timings.values()), 3)
     # Round-over-round comparability: the suite gained three queries in
@@ -153,14 +186,20 @@ def main() -> None:
                "dedup_clusters", "m4_downsample", "repetition_signals",
                "contamination_overlap", "pii_scrub", "line_dedup",
                "pack_sequences", "bpe_train")
+    _r6_new = ("zstd_codec",)
     extra["suite_r02_comparable_sec"] = round(
-        sum(v for k, v in timings.items() if k not in _r3_new + _r4_new + _r5_new), 3
+        sum(v for k, v in timings.items()
+            if k not in _r3_new + _r4_new + _r5_new + _r6_new), 3
     )
     extra["suite_r03_comparable_sec"] = round(
-        sum(v for k, v in timings.items() if k not in _r4_new + _r5_new), 3
+        sum(v for k, v in timings.items()
+            if k not in _r4_new + _r5_new + _r6_new), 3
     )
     extra["suite_r04_comparable_sec"] = round(
-        sum(v for k, v in timings.items() if k not in _r5_new), 3
+        sum(v for k, v in timings.items() if k not in _r5_new + _r6_new), 3
+    )
+    extra["suite_r05_comparable_sec"] = round(
+        sum(v for k, v in timings.items() if k not in _r6_new), 3
     )
     print(json.dumps({
         "metric": "tsdat_spark_suite_sec",
