@@ -234,3 +234,37 @@ def test_cli_generate_schema(tmp_path, capsys):
     # sections load_pipeline_yaml requires
     pl = json.load(open(tmp_path / "s" / "pipeline-schema.json"))
     assert set(pl["required"]) == {"triggers", "retriever", "dataset", "storage"}
+
+
+def test_yaml_plot_hook_renders_ancillary_svg(spark, tmp_path):
+    """The hook_plot_dataset lifecycle slot as a yaml section
+    (ingest_pipeline.py:79-87 analog, declared instead of subclassed):
+    PipelineSpec.run M4-downsamples the stored dataset and lands SVG
+    plots under the ancillary storage root at the templated datastream
+    path."""
+    import glob as _glob
+
+    csv_path = str(tmp_path / "transcripts_day3.csv")
+    _write_csv(csv_path)
+    plot_root = str(tmp_path / "plots")
+    spec = load_pipeline_yaml(
+        PIPELINE_YAML,
+        overrides={
+            "/plot": {"variables": ["temp"], "bins": 16,
+                      "storage_root": plot_root},
+        },
+    )
+    assert spec.plot is not None and spec.plot.variables == ["temp"]
+    res = spec.run(spark, [csv_path], table_path=str(tmp_path / "out"))
+    assert res.manifests
+    svgs = _glob.glob(f"{plot_root}/**/*.svg", recursive=True)
+    assert len(svgs) == 1
+    body = open(svgs[0], encoding="utf-8").read()
+    assert body.startswith("<svg") and "temp" in body
+    # the datastream template places it under <loc>.<name>.<level>/...
+    assert "sgp.transcripts.b1" in svgs[0]
+
+
+def test_yaml_plot_section_requires_variables():
+    with pytest.raises(ConfigError):
+        load_pipeline_yaml(PIPELINE_YAML, overrides={"/plot": {"bins": 8}})

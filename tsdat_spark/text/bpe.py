@@ -21,6 +21,32 @@ Arrow-batched ``mapInPandas`` running the classic rank-based merge loop
 per distinct word WITHIN a batch — each distinct word encodes once per
 batch and broadcasts to its occurrences, so the Python cost is per
 distinct word, not per token occurrence.
+
+Cost model and the production recipe
+------------------------------------
+The distributed trainer costs **O(n_merges) Spark jobs** — each merge
+round is one explode + one partial-agg groupBy + one TakeOrdered(1) over
+vocabulary rows, a fixed ~2-3 s of job overhead at small scale that the
+data volume cannot amortize below. Two regimes follow:
+
+- **bounded merges / small vocabulary** (the oracle-suite shape): when
+  the distinct-word vocabulary fits the driver comfortably
+  (``<= driver_vocab_limit``, default 65_536 rows of (word, count)),
+  ``train_bpe`` collects it ONCE and runs the identical merge spec in
+  plain Python — same output (pytest-pinned), none of the per-round job
+  overhead (22.2 s → 3.2 s for 8 merges at sf0.1).
+- **production 32k+ merge vocabularies**: running 32_000 sequential Spark
+  jobs is the wrong shape no matter how cheap each is. The production
+  norm (SentencePiece/GPT-2 practice) is **sample-then-train**: take a
+  size-bounded uniform sample of the corpus (``df.sample(fraction)`` or
+  the engine's ``sample_stratified`` for per-source balance) sized so its
+  word vocabulary fits one node (a few GB of text ≈ millions of distinct
+  words), train the merge table there via the driver path, then apply
+  ``encode_bpe`` — which IS fully distributed and Arrow-batched — to the
+  whole 100 TB corpus. Token statistics of a BPE table are stable under
+  corpus sampling (Heaps' law: vocabulary grows ~O(n^0.5), merge ranks
+  converge far earlier), which is why every large published tokenizer is
+  trained on a sample.
 """
 
 from __future__ import annotations

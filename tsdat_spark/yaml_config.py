@@ -258,6 +258,21 @@ class StorageSpec:
 
 
 @dataclass
+class PlotSpec:
+    """The ``hook_plot_dataset`` lifecycle slot as a yaml section (the
+    reference implements it as a method override on the pipeline subclass,
+    ``ingest_pipeline.py:79-87``; declaratively: which variables to plot
+    and where the ancillary files land). Rendering is scale-correct M4
+    downsampling + SVG (:mod:`tsdat_spark.plot`)."""
+
+    variables: list[str]
+    ts_col: str | None = None
+    width_px: int = 800
+    bins: int = 256
+    storage_root: str | None = None  # default: <data_storage_path>/ancillary
+
+
+@dataclass
 class PipelineSpec:
     classname: str
     triggers: list[str]
@@ -266,6 +281,7 @@ class PipelineSpec:
     quality: list[QualityManager]
     storage: StorageSpec
     attrs: dict = field(default_factory=dict)
+    plot: PlotSpec | None = None
 
     def matches_input(self, input_key: str) -> bool:
         return any(re.match(t, input_key) for t in self.triggers)
@@ -299,7 +315,49 @@ class PipelineSpec:
                 var_attrs={n: v.attrs for n, v in self.dataset.variables.items() if v.attrs},
                 **params,
             )
-        return run_ingest(raw, self.dataset, ctx, self.quality, table_path=table_path, writer=writer)
+        hook_plot = self._build_plot_hook() if self.plot else None
+        return run_ingest(raw, self.dataset, ctx, self.quality, table_path=table_path,
+                          writer=writer, hook_plot=hook_plot)
+
+    def _build_plot_hook(self):
+        """Compose :func:`tsdat_spark.plot.plot_dataset` +
+        :class:`tsdat_spark.io.ancillary.AncillaryStorage` into the
+        ``hook_plot`` observer ``run_ingest`` invokes after storage — the
+        ``hook_plot_dataset`` slot, declared in yaml instead of a pipeline
+        subclass. One bounded min/max agg finds the time range; per
+        variable, ONE algebraic M4 groupBy reaches the driver with
+        ≤ 4·bins points."""
+        spec = self.plot
+        root = spec.storage_root or (
+            (self.storage.data_storage_path or "").rstrip("/") + "/ancillary"
+            if self.storage.data_storage_path else None)
+        if not root:
+            raise ConfigError(
+                "plot: needs storage_root (or storage data_storage_path)")
+        attrs = self.attrs
+        ts_default = self.dataset.ts_col
+
+        def hook_plot(df):
+            from pyspark.sql import functions as F
+
+            from .io.ancillary import AncillaryStorage
+            from .plot import plot_dataset
+
+            ts = spec.ts_col or ts_default
+            lo, hi = df.agg(F.min(ts), F.max(ts)).first()
+            if lo is None:
+                return  # empty dataset: nothing to plot (reference parity)
+            storage = AncillaryStorage(root)
+            with storage.uploadable_dir() as tmp:
+                for col in spec.variables:
+                    svg = plot_dataset(df, ts, col, lo, hi, title=col,
+                                       width_px=spec.width_px, bins=spec.bins)
+                    path = storage.get_ancillary_filepath(
+                        title=col, root_dir=tmp, attrs=attrs, start=lo)
+                    with open(path, "w", encoding="utf-8") as fh:
+                        fh.write(svg)
+
+        return hook_plot
 
 
 def _parse_rules(section: dict, ts_col_hint: str | None = None) -> dict[str, list[VarRule]]:
@@ -439,6 +497,21 @@ def load_pipeline_yaml(path: str | Path, overrides: dict[str, Any] | None = None
             if var in dataset.variables and rules:
                 dataset.variables[var].source_names = rules[0].source_names
         triggers = [str(t) for t in doc.get("triggers", [])]
+        plot = None
+        if doc.get("plot"):
+            pnode = doc["plot"]
+            variables = pnode.get("variables") or []
+            if isinstance(variables, str):
+                variables = [variables]
+            if not variables:
+                raise ConfigError("plot: section needs a variables list")
+            plot = PlotSpec(
+                variables=[str(v) for v in variables],
+                ts_col=pnode.get("ts_col"),
+                width_px=int(pnode.get("width_px", 800)),
+                bins=int(pnode.get("bins", 256)),
+                storage_root=pnode.get("storage_root"),
+            )
         return PipelineSpec(
             classname=doc.get("classname", "tsdat_spark.PipelineSpec"),
             triggers=triggers,
@@ -447,6 +520,7 @@ def load_pipeline_yaml(path: str | Path, overrides: dict[str, Any] | None = None
             quality=quality,
             storage=storage,
             attrs=dict(getattr(dataset, "attrs", {}) or {}),
+            plot=plot,
         )
     except ConfigError:
         raise
