@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search": Q.q_ivf_search,
         "sample_stratified": Q.q_sample_stratified,
         "top_tokens": Q.q_top_tokens,
+        "lm_perplexity": Q.q_lm_perplexity,
         "distinct_tier_hll": Q.q_distinct_tier_hll,
     }
 

@@ -85,6 +85,8 @@ def main() -> None:
         "m4_downsample", "repetition_signals", "contamination_overlap",
         # round 5 corpus-preparation trio + tokenizer training
         "pii_scrub", "line_dedup", "pack_sequences", "bpe_train",
+        # round 6: CCNet-style LM quality scoring
+        "lm_perplexity",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
@@ -186,7 +188,7 @@ def main() -> None:
                "dedup_clusters", "m4_downsample", "repetition_signals",
                "contamination_overlap", "pii_scrub", "line_dedup",
                "pack_sequences", "bpe_train")
-    _r6_new = ("zstd_codec",)
+    _r6_new = ("zstd_codec", "lm_perplexity")
     extra["suite_r02_comparable_sec"] = round(
         sum(v for k, v in timings.items()
             if k not in _r3_new + _r4_new + _r5_new + _r6_new), 3

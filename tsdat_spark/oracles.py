@@ -904,3 +904,55 @@ SELECT doc_id, n_tokens, start_offset,
        (start_offset + greatest(n_tokens, 1) - 1) // 512 - start_offset // 512 + 1 AS n_spans
 FROM s
 """
+
+# CCNet-style LM perplexity: interpolated bigram model trained on the
+# corpus itself; every compared column is integer-exact (per-token
+# round(ln(p)*1e6) quantization BEFORE summation — see text/lm.py).
+# CAST(0.9/0.1 AS DOUBLE) reproduces the Spark literals bit-exactly
+# (DuckDB decimal literals would not); SUM over BIGINT is HUGEINT in
+# DuckDB, so the aggregate is cast back.
+ORACLES["lm_perplexity"] = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+  FROM documents WHERE text IS NOT NULL
+), tokpos AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM d
+), tok AS (
+  SELECT doc_id, ws[i] AS w,
+         CASE WHEN i = 1 THEN NULL ELSE ws[i - 1] END AS w_prev
+  FROM tokpos
+), uni AS (
+  SELECT w, COUNT(*) AS c1 FROM tok GROUP BY 1
+), tv AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS t_total, COUNT(*) AS v_size FROM uni
+), bi AS (
+  SELECT w_prev AS w1, w AS w2, COUNT(*) AS c2 FROM tok
+  WHERE w_prev IS NOT NULL GROUP BY 1, 2
+), scored AS (
+  SELECT tok.doc_id,
+         CAST(ROUND(
+           CASE WHEN tok.w_prev ISNULL OR up.c1 IS NULL THEN
+             ln((u.c1 + 1) / CAST(tv.t_total + tv.v_size AS DOUBLE))
+           ELSE
+             ln(CAST(0.9 AS DOUBLE) * (COALESCE(b.c2, 0) / up.c1)
+                + CAST(0.1 AS DOUBLE)
+                  * ((u.c1 + 1) / CAST(tv.t_total + tv.v_size AS DOUBLE)))
+           END * 1000000.0) AS BIGINT) AS lp_micro
+  FROM tok
+  CROSS JOIN tv
+  LEFT JOIN uni u ON tok.w = u.w
+  LEFT JOIN uni up ON tok.w_prev = up.w
+  LEFT JOIN bi b ON tok.w_prev = b.w1 AND tok.w = b.w2
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(-SUM(lp_micro) AS BIGINT) AS nll_micro
+  FROM scored GROUP BY 1
+)
+SELECT base.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.nll_micro, 0) AS nll_micro,
+       CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0
+            ELSE a.nll_micro // (a.n_tokens * 1000) END AS nll_per_token_milli
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) base
+LEFT JOIN agg a ON base.doc_id = a.doc_id
+"""

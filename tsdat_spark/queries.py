@@ -978,3 +978,17 @@ def q_distinct_tier_hll(spark, sf_dir):
             <= F.lit(0.05) * F.col("n_distinct_convs")
         ).alias("est_within_5pct"),
     )
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): per-document
+    negative log likelihood under an interpolated bigram model trained on
+    the corpus (see :mod:`tsdat_spark.text.lm` for the model, the
+    integer-exact score quantization that makes a float pipeline
+    oracle-checkable, and the bounded-vocabulary broadcast path that makes
+    scoring a zero-shuffle map at 100 TB)."""
+    from .text.lm import score_perplexity, train_bigram_lm
+
+    d = _documents(spark, sf_dir)
+    uni, bi, T, V = train_bigram_lm(d)
+    return score_perplexity(d, uni, bi, T, V)
