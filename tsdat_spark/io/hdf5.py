@@ -13,8 +13,10 @@ latest/_f_m_t3.html) that NetCDF-4 writers actually produce:
   ``FHIB`` + v2 B-tree ``BTHD``/``BTLF``/``BTIN`` name index, ANY depth
   via the spec's per-level child-pointer capacity formulas) for both
   links and attributes — the 'new style' shape netcdf-c emits past 8
-  links per group; huge/tiny heap objects and filtered heaps raise
-  named boundaries
+  links per group — with the full heap object menu: managed (doubling
+  table incl. recursive indirect child blocks), HUGE (type-1 v2 B-tree
+  indexed) and TINY (data embedded in the heap ID); I/O-filtered heaps
+  raise the named boundary
 - dataspace v1/v2; datatypes: fixed-point, IEEE float, fixed string,
   object reference, VLEN (string and reference sequence)
 - data layouts: compact, contiguous, v3 chunked (B-tree v1) and v4
@@ -392,11 +394,16 @@ def _parse_link(data, off):
 
 def _fractal_heap_resolver(data, addr):
     """Parse a fractal heap header (``FRHP``) → (resolve, heap_id_len)
-    where ``resolve(heap_id) -> absolute file offset`` of a managed
-    object. Supports a root direct block and a root indirect block with
-    DIRECT children (the shapes group/attribute heaps actually take);
-    huge/tiny objects, I/O-filtered heaps, and indirect-child recursion
-    raise the named boundary."""
+    where ``resolve(heap_id) -> (buffer, offset, length)`` of the object's
+    bytes. Managed objects ride the doubling table — root direct block,
+    root indirect block, and recursive INDIRECT child blocks (row sizes
+    ``S, S, 2S, 4S …``; a child indirect block in row k covers the row's
+    block size with ``log2(rsize) - log2(S·width) + 1`` sub-rows, per the
+    H5HF doubling-table construction in spec III.E/F). Huge objects
+    (ID type 1) resolve through the heap's type-1 v2 B-tree
+    (addr + length + id records); tiny objects (ID type 2, normal
+    sub-type) are returned straight out of the heap ID. I/O-filtered
+    heaps and extended tiny IDs raise the named boundary."""
     if data[addr : addr + 4] != b"FRHP":
         raise ValueError(f"expected FRHP at {addr}")
     heap_id_len = struct.unpack_from("<H", data, addr + 5)[0]
@@ -404,10 +411,7 @@ def _fractal_heap_resolver(data, addr):
     if filt_len:
         raise Hdf5Boundary("I/O-filtered fractal heap")
     flags = data[addr + 9]
-    n_huge = _u(data, addr + 86, 8)
-    n_tiny = _u(data, addr + 102, 8)
-    if n_huge or n_tiny:
-        raise Hdf5Boundary("huge/tiny fractal-heap objects")
+    huge_btree = _u(data, addr + 22, 8)
     width = struct.unpack_from("<H", data, addr + 110)[0]
     start_size = _u(data, addr + 112, 8)
     max_direct = _u(data, addr + 120, 8)
@@ -416,36 +420,72 @@ def _fractal_heap_resolver(data, addr):
     cur_rows = struct.unpack_from("<H", data, addr + 140)[0]
     off_bytes = (max_heap_bits + 7) // 8
     dblk_hdr = 4 + 1 + 8 + off_bytes + (4 if flags & 0x2 else 0)
+    max_direct_rows = (max_direct.bit_length() - start_size.bit_length()) + 2
+    first_row_bits = (start_size.bit_length() - 1) + (width.bit_length() - 1)
+
+    def row_size(row: int) -> int:
+        return start_size if row < 2 else start_size << (row - 1)
 
     # (heap_space_offset, file_addr, size) per direct block
     blocks = []
-    if cur_rows == 0:  # root IS a direct block of the starting size
-        blocks.append((0, root_addr, start_size))
-    else:
-        if data[root_addr : root_addr + 4] != b"FHIB":
-            raise ValueError(f"expected FHIB at {root_addr}")
-        max_direct_rows = (max_direct.bit_length() - start_size.bit_length()) + 2
-        p = root_addr + 4 + 1 + 8 + off_bytes
-        hoff = 0
-        for row in range(cur_rows):
-            if row >= max_direct_rows:
-                raise Hdf5Boundary("fractal heap with indirect child blocks")
-            rsize = start_size if row < 2 else start_size << (row - 1)
+
+    def walk_iblock(at, nrows, block_offset):
+        if data[at : at + 4] != b"FHIB":
+            raise ValueError(f"expected FHIB at {at}")
+        p = at + 4 + 1 + 8 + off_bytes
+        hoff = block_offset
+        for row in range(nrows):
+            rsize = row_size(row)
             for _ in range(width):
                 child = _u(data, p, 8)
                 p += 8
-                if child != _UNDEF:
-                    blocks.append((hoff, child, rsize))
+                if row < max_direct_rows:
+                    if child != _UNDEF:
+                        blocks.append((hoff, child, rsize))
+                else:  # child indirect block covering rsize of heap space
+                    if child != _UNDEF:
+                        sub_rows = (rsize.bit_length() - 1) - first_row_bits + 1
+                        walk_iblock(child, sub_rows, hoff)
                 hoff += rsize
-    def resolve(heap_id: bytes) -> tuple[int, int]:
+
+    if cur_rows == 0:  # root IS a direct block of the starting size
+        blocks.append((0, root_addr, start_size))
+    else:
+        walk_iblock(root_addr, cur_rows, 0)
+
+    huge_map: dict[int, tuple[int, int]] = {}
+
+    def resolve(heap_id: bytes) -> tuple[bytes, int, int]:
         b0 = heap_id[0]
-        if (b0 >> 6) != 0 or ((b0 >> 4) & 0x3) != 0:
-            raise Hdf5Boundary(f"non-managed fractal-heap ID type {b0:#04x}")
+        idtype = (b0 >> 4) & 0x3
+        if (b0 >> 6) != 0:
+            raise Hdf5Boundary(f"fractal-heap ID version {b0 >> 6}")
+        if idtype == 2:  # tiny, normal sub-type: data lives in the ID
+            if heap_id_len > 18:
+                raise Hdf5Boundary("extended tiny fractal-heap IDs")
+            length = (b0 & 0xF) + 1
+            return heap_id, 1, length
+        if idtype == 1:  # huge: id -> (addr, len) via the type-1 B-tree
+            if not huge_map:
+                if huge_btree == _UNDEF:
+                    raise ValueError("huge heap ID with no huge B-tree")
+                for rec in _btree_v2_records(data, huge_btree):
+                    a = int.from_bytes(rec[0:8], "little")
+                    ln = int.from_bytes(rec[8:16], "little")
+                    hid = int.from_bytes(rec[16:24], "little")
+                    huge_map[hid] = (a, ln)
+            hid = int.from_bytes(heap_id[1:], "little")
+            if hid not in huge_map:
+                raise ValueError(f"huge object id {hid} not in B-tree")
+            a, ln = huge_map[hid]
+            return data, a, ln
+        if idtype != 0:
+            raise Hdf5Boundary(f"fractal-heap ID type {idtype}")
         off = int.from_bytes(heap_id[1 : 1 + off_bytes], "little")
         length = int.from_bytes(heap_id[1 + off_bytes :], "little")
         for hoff, faddr, size in blocks:
             if hoff <= off < hoff + size:
-                return faddr + (off - hoff), length
+                return data, faddr + (off - hoff), length
         raise ValueError(f"fractal-heap offset {off} outside managed blocks")
 
     # sanity: direct blocks carry their own signature
@@ -576,8 +616,8 @@ def _collect_links(data, addr):
                 resolve, hid_len = _fractal_heap_resolver(data, fheap)
                 for rec in _btree_v2_records(data, btree):
                     # type-5 record: name hash (4) + heap ID (hid_len)
-                    obj_at, _ln = resolve(rec[4 : 4 + hid_len])
-                    name, target = _parse_link(data, obj_at)
+                    buf, obj_at, _ln = resolve(rec[4 : 4 + hid_len])
+                    name, target = _parse_link(buf, obj_at)
                     if target is not None:
                         out.append((name, target))
     return out
@@ -768,8 +808,8 @@ def _parse_object(data, addr, name):
                 for rec in _btree_v2_records(data, btree):
                     # type-8 record: heap ID (hid_len) + flags(1) + corder(4)
                     # + name hash (4); the heap object is an attribute msg
-                    obj_at, _ln = resolve(rec[:hid_len])
-                    aname, aval = _parse_attribute(data, obj_at)
+                    buf, obj_at, _ln = resolve(rec[:hid_len])
+                    aname, aval = _parse_attribute(buf, obj_at)
                     attrs[aname] = aval
     if layout is not None and dt is not None:
         return _Dataset(name, dims or (), dt, layout, filters, attrs, fillvalue, addr), attrs

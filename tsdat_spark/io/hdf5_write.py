@@ -19,7 +19,10 @@ the reference fixture only exercises v2 headers with contiguous storage;
 (b) the engine's NetCDF-4 sink analog of ``NetCDF3DatasetWriter``
 (one self-describing part per Spark partition via ``write_hdf5``).
 Caps are explicit: one group level, ≤64 chunks per dataset (one B-tree
-node), 1-D data variables — a ``ValueError`` names each.
+node), 1-D data variables — a ``ValueError`` names each. The dense-mode
+knobs (``btree_node_size``, ``heap_block_size``, ``heap_huge_threshold``)
+exist to synthesize genuinely deep/indirect/huge structures as reader
+fixtures — no h5py in the image, so the writer is the fixture source.
 """
 
 from __future__ import annotations
@@ -82,46 +85,216 @@ _FRHP_SIZE = 146
 _BTHD_SIZE = 38
 
 
-def _fractal_heap_blob(objects: list[bytes], frhp_at: int, heap_id_len: int):
-    """One FRHP header + one root direct block holding ``objects``.
-    Returns (frhp_bytes, dblock_bytes, heap_ids) with the direct block laid
-    immediately after the header. heap_id_len 7 → links (4-byte offset,
-    2-byte length); 8 → attributes (3-byte length)."""
+def _fractal_heap_blob(objects: list[bytes], frhp_at: int, heap_id_len: int,
+                       block_size: int | None = None,
+                       huge_threshold: int | None = None):
+    """FRHP header + heap body holding ``objects`` (body laid immediately
+    after the header). Returns (frhp_bytes, body_bytes, heap_ids).
+    heap_id_len 7 → links (4-byte offset, 2-byte length); 8 → attributes.
+
+    Default: one root direct block grown to fit — the shape netcdf-c-sized
+    groups take. ``block_size`` forces the real doubling table (width 4,
+    start S, max direct 2S → rows S, S, 2S direct, row ≥ 3 INDIRECT child
+    blocks, spec III.E/F) with a root indirect block. ``huge_threshold``
+    routes objects >= that size to HUGE storage: raw bytes at a file
+    address indexed by a type-1 v2 B-tree (addr + length + id records),
+    heap ID type 1 carrying the id number (indirect access — the id is
+    too small for addr+len, exactly the id_len-7/8 regime HDF5 is in)."""
     off_bytes, len_bytes = 4, heap_id_len - 1 - 4
-    dblk_at = frhp_at + _FRHP_SIZE
-    hdr = 4 + 1 + 8 + off_bytes  # FHDB header (no direct-block checksums)
-    dblock_size = 512
-    while dblock_size < hdr + sum(len(o) for o in objects):
-        dblock_size *= 2
-    if dblock_size > 65536:
-        raise ValueError("dense storage objects exceed one 64 KiB direct block")
-    dblk = bytearray(b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", frhp_at)
-                     + (0).to_bytes(off_bytes, "little"))
-    heap_ids = []
-    max_obj = 1
-    for o in objects:
-        off_in_heap = len(dblk)
-        dblk += o
-        heap_ids.append(bytes([0]) + off_in_heap.to_bytes(off_bytes, "little")
-                        + len(o).to_bytes(len_bytes, "little"))
-        max_obj = max(max_obj, len(o))
-    free = dblock_size - len(dblk)
-    dblk += b"\x00" * free
+    base = frhp_at + _FRHP_SIZE
+    hdr_sz = 4 + 1 + 8 + off_bytes  # FHDB header (no direct-block checksums)
+    heap_ids: list[bytes | None] = [None] * len(objects)
+    body = bytearray()
+
+    huge_set = {i for i, o in enumerate(objects)
+                if huge_threshold is not None and len(o) >= huge_threshold}
+    managed = [i for i in range(len(objects)) if i not in huge_set]
+    max_obj = max([1] + [len(objects[i]) for i in managed])
+
+    if block_size is None:
+        dblock_size = 512
+        while dblock_size < hdr_sz + sum(len(objects[i]) for i in managed):
+            dblock_size *= 2
+        if dblock_size > 65536:
+            raise ValueError(
+                "dense storage objects exceed one 64 KiB direct block")
+        dblk = bytearray(b"FHDB" + struct.pack("<B", 0)
+                         + struct.pack("<Q", frhp_at)
+                         + (0).to_bytes(off_bytes, "little"))
+        for i in managed:
+            o = objects[i]
+            off_in_heap = len(dblk)
+            dblk += o
+            heap_ids[i] = (bytes([0])
+                           + off_in_heap.to_bytes(off_bytes, "little")
+                           + len(o).to_bytes(len_bytes, "little"))
+        free = dblock_size - len(dblk)
+        dblk += b"\x00" * free
+        body += dblk
+        width, start_size, max_direct = 4, dblock_size, 65536
+        root_addr, cur_rows = base, 0
+        managed_space = dblock_size
+    else:
+        width, start_size = 4, block_size
+        max_direct = 2 * block_size
+        max_direct_rows = 3  # rows S, S, 2S then indirect children
+        first_row_bits = ((start_size.bit_length() - 1)
+                          + (width.bit_length() - 1))
+
+        # enumerate direct slots in doubling-table order; a root slot in
+        # row >= max_direct_rows is an indirect child whose sub-rows are
+        # themselves table rows (all direct for the sizes the guard allows)
+        def slots():
+            hoff = 0
+            for row in range(32):
+                rsize = start_size if row < 2 else start_size << (row - 1)
+                for col in range(width):
+                    if row < max_direct_rows:
+                        yield (None, row, col, hoff, rsize)
+                        hoff += rsize
+                    else:
+                        sub_rows = (rsize.bit_length() - 1) - first_row_bits + 1
+                        if sub_rows > max_direct_rows:
+                            raise ValueError(
+                                "forced fractal heap would need nested "
+                                "indirect blocks beyond one level")
+                        soff = hoff
+                        for srow in range(sub_rows):
+                            srs = (start_size if srow < 2
+                                   else start_size << (srow - 1))
+                            for scol in range(width):
+                                yield ((row, col), srow, scol, soff, srs)
+                                soff += srs
+                        hoff += rsize
+
+        # pack objects greedily into direct blocks
+        gen = slots()
+        cur = None  # (slot_key, contents bytearray-of-objs, heap_off, rsize)
+        used: list[tuple] = []
+
+        def next_slot():
+            key, row, col, hoff, rsize = next(gen)
+            if rsize - hdr_sz < max_obj:
+                raise ValueError("fractal-heap block_size too small")
+            return [key, row, col, hoff, rsize, bytearray()]
+
+        for i in managed:
+            o = objects[i]
+            if cur is None:
+                cur = next_slot()
+            while hdr_sz + len(cur[5]) + len(o) > cur[4]:
+                used.append(cur)
+                cur = next_slot()
+            heap_off = cur[3] + hdr_sz + len(cur[5])
+            cur[5] += o
+            heap_ids[i] = (bytes([0])
+                           + heap_off.to_bytes(off_bytes, "little")
+                           + len(o).to_bytes(len_bytes, "little"))
+        if cur is not None:
+            used.append(cur)
+
+        # group: root-direct slots and child-iblock slots
+        root_rows = 0
+        iblocks: dict[tuple, list] = {}
+        root_direct: list = []
+        for key, row, col, hoff, rsize, payload in used:
+            if key is None:
+                root_rows = max(root_rows, row + 1)
+                root_direct.append((row, col, hoff, rsize, payload))
+            else:
+                root_rows = max(root_rows, key[0] + 1)
+                iblocks.setdefault(key, []).append(
+                    (row, col, hoff, rsize, payload))
+
+        # assign file addresses: root FHIB, child FHIBs, then FHDBs
+        root_size = 4 + 1 + 8 + off_bytes + root_rows * width * 8 + 4
+        cursor = base + root_size
+        ib_addr: dict[tuple, int] = {}
+        ib_rows: dict[tuple, int] = {}
+        for key, members in sorted(iblocks.items()):
+            rsize = start_size << (key[0] - 1)
+            sub_rows = (rsize.bit_length() - 1) - first_row_bits + 1
+            ib_rows[key] = sub_rows
+            ib_addr[key] = cursor
+            cursor += 4 + 1 + 8 + off_bytes + sub_rows * width * 8 + 4
+        db_addr: dict[tuple, int] = {}
+        for key, row, col, hoff, rsize, payload in used:
+            db_addr[(key, row, col)] = cursor
+            cursor += rsize
+
+        def render_iblock(nrows, children, block_off):
+            blob = bytearray(b"FHIB" + struct.pack("<B", 0)
+                             + struct.pack("<Q", frhp_at)
+                             + block_off.to_bytes(off_bytes, "little"))
+            for row in range(nrows):
+                for col in range(width):
+                    if (row, col) in children:
+                        blob += struct.pack("<Q", children[(row, col)])
+                    else:
+                        blob += _UNDEF8
+            blob += struct.pack("<I", _lookup3(bytes(blob)))
+            return blob
+
+        root_children = {}
+        for row, col, _hoff, _rsize, _payload in root_direct:
+            root_children[(row, col)] = db_addr[(None, row, col)]
+        for key in iblocks:
+            root_children[key] = ib_addr[key]
+        body += render_iblock(root_rows, root_children, 0)
+        for key, members in sorted(iblocks.items()):
+            children = {(row, col): db_addr[(key, row, col)]
+                        for row, col, _h, _r, _p in members}
+            # the child iblock's block offset = start of its covered range
+            # (the root slot covers [slot_hoff, slot_hoff + rsize))
+            rsize = start_size << (key[0] - 1)
+            covered_start = (members[0][2] // rsize) * rsize
+            body += render_iblock(ib_rows[key], children, covered_start)
+        for key, row, col, hoff, rsize, payload in used:
+            blob = bytearray(b"FHDB" + struct.pack("<B", 0)
+                             + struct.pack("<Q", frhp_at)
+                             + hoff.to_bytes(off_bytes, "little"))
+            blob += payload
+            blob += b"\x00" * (rsize - len(blob))
+            assert len(blob) == rsize
+            body += blob
+        root_addr, cur_rows = base, root_rows
+        managed_space = sum(u[4] for u in used)
+
+    # ---- huge objects: raw bytes + type-1 v2 B-tree index ------------------
+    n_huge = len(huge_set)
+    huge_btree_addr = None
+    huge_size_total = 0
+    if n_huge:
+        recs = []
+        for hid, i in enumerate(sorted(huge_set), start=1):
+            o = objects[i]
+            addr = base + len(body)
+            body += o
+            huge_size_total += len(o)
+            recs.append(struct.pack("<QQQ", addr, len(o), hid))
+            heap_ids[i] = (bytes([0x10])
+                           + hid.to_bytes(heap_id_len - 1, "little"))
+        huge_btree_addr = base + len(body)
+        bthd, nodes = _btree_v2_blob(recs, 24, 1, huge_btree_addr)
+        body += bthd + nodes
+
     frhp = bytearray(b"FRHP")
     frhp += struct.pack("<BHHBI", 0, heap_id_len, 0, 0, max_obj)
-    frhp += struct.pack("<Q", 0)            # next huge id
-    frhp += _UNDEF8                          # huge-object B-tree
-    frhp += struct.pack("<Q", free)          # free space
+    frhp += struct.pack("<Q", n_huge + 1)    # next huge id
+    frhp += (struct.pack("<Q", huge_btree_addr) if huge_btree_addr is not None
+             else _UNDEF8)                   # huge-object B-tree
+    frhp += struct.pack("<Q", 0)             # free space (writer packs full)
     frhp += _UNDEF8                          # free-space manager
-    frhp += struct.pack("<QQQQ", dblock_size, dblock_size, dblock_size,
-                        len(objects))        # managed/alloc/iter/#managed
-    frhp += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
-    frhp += struct.pack("<HQQHH", 4, dblock_size, 65536, 32, 1)
-    frhp += struct.pack("<Q", dblk_at)       # root block = the direct block
-    frhp += struct.pack("<H", 0)             # current rows: 0 → root direct
+    frhp += struct.pack("<QQQQ", managed_space, managed_space, managed_space,
+                        len(managed))        # managed/alloc/iter/#managed
+    frhp += struct.pack("<QQQQ", huge_size_total, n_huge, 0, 0)
+    frhp += struct.pack("<HQQHH", width, start_size, max_direct, 32,
+                        max(cur_rows, 1))
+    frhp += struct.pack("<Q", root_addr)
+    frhp += struct.pack("<H", cur_rows)
     frhp += struct.pack("<I", _lookup3(bytes(frhp)))
     assert len(frhp) == _FRHP_SIZE
-    return bytes(frhp), bytes(dblk), heap_ids
+    return bytes(frhp), bytes(body), heap_ids
 
 
 def _btree_v2_plan(n: int, rec_size: int, node_size: int):
@@ -324,6 +497,8 @@ def write_hdf5(
     dense_attrs: bool = False,
     codec: str = "deflate",
     btree_node_size: int | None = None,
+    heap_block_size: int | None = None,
+    heap_huge_threshold: int | None = None,
 ) -> bytes:
     """Serialize aligned 1-D columns into one HDF5/NetCDF-4-style file.
 
@@ -381,11 +556,17 @@ def write_hdf5(
         # region is laid out BEFORE dataset addresses exist and rendered
         # after they do.
         link_sizes = {nm: 2 + 1 + len(nm.encode()) + 8 for nm in names}
-        hdr17 = 4 + 1 + 8 + 4
-        dblock_size_l = 512
-        while dblock_size_l < hdr17 + sum(link_sizes.values()):
-            dblock_size_l *= 2
         off_frhp_l = 96
+        if heap_block_size is None and heap_huge_threshold is None:
+            hdr17 = 4 + 1 + 8 + 4
+            dblock_size_l = 512
+            while dblock_size_l < hdr17 + sum(link_sizes.values()):
+                dblock_size_l *= 2
+        else:  # dry run: body size depends only on object sizes + order
+            dummy = [b"\x00" * link_sizes[nm] for nm in names]
+            dblock_size_l = len(_fractal_heap_blob(
+                dummy, off_frhp_l, 7, heap_block_size,
+                heap_huge_threshold)[1])
         off_bthd_l = off_frhp_l + _FRHP_SIZE + dblock_size_l
         if btree_node_size is None:
             btlf_size_l = 6 + 11 * len(names) + 4
@@ -597,7 +778,9 @@ def write_hdf5(
             + struct.pack("<Q", ds_addr[nm])
             for nm in names
         ]
-        frhp, dblk, hids = _fractal_heap_blob(link_objs, off_frhp_l, 7)
+        frhp, dblk, hids = _fractal_heap_blob(link_objs, off_frhp_l, 7,
+                                              heap_block_size,
+                                              heap_huge_threshold)
         pairs = sorted(
             (( _lookup3(nm.encode()), hid) for nm, hid in zip(names, hids)),
             key=lambda t: t[0],
