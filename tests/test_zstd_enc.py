@@ -225,3 +225,38 @@ def test_zarr_zstd_write_now_compresses(tmp_path, zarr_format, spark):
     back = ZarrReader().read(spark, path).orderBy("time").toPandas()
     np.testing.assert_allclose(back["value"].to_numpy(),
                                pdf["value"].to_numpy())
+
+
+def test_xxh64_reference_vector():
+    from tsdat_spark.compress.xxhash64 import xxh64
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+
+
+@pytest.mark.skipif(not _HAS_CLI, reason="no zstd CLI on host")
+def test_content_checksum_bidirectional():
+    """Content_Checksum (XXH64 low 32, RFC 8878 §3.1.1): frames WE write
+    with checksum=True pass libzstd's verification; frames the CLI writes
+    with -C pass OURS; a corrupted stored checksum raises."""
+    import subprocess as sp
+    import tempfile
+
+    data = b"assistant says hello " * 500 + os.urandom(129)
+    frame = zstd_compress(data, checksum=True)
+    assert zstd_decompress(frame) == data  # our decoder verifies it
+    assert _cli_decompress(frame) == data  # libzstd verifies it too
+
+    with tempfile.TemporaryDirectory() as d:
+        src, dst = os.path.join(d, "a.bin"), os.path.join(d, "a.zst")
+        with open(src, "wb") as fh:
+            fh.write(data)
+        sp.run(["zstd", "-f", "-C", src, "-o", dst], check=True,
+               capture_output=True)
+        with open(dst, "rb") as fh:
+            cli_frame = fh.read()
+    assert zstd_decompress(cli_frame) == data
+
+    bad = bytearray(frame)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        zstd_decompress(bytes(bad))

@@ -9,7 +9,7 @@ RFC 8878 ("Zstandard Compression and the 'application/zstd' Media Type"):
 - frames: magic, frame-header descriptor, window/single-segment, frame
   content size, concatenated + skippable frames; dictionaries REJECTED
   (``Dictionary_ID`` != 0 raises — the documented subset boundary);
-  content checksum present is skipped (xxhash64 verification out of scope).
+  content checksums VERIFIED (from-spec XXH64, ``compress/xxhash64``).
 - blocks: Raw / RLE / Compressed.
 - literals: Raw / RLE / Huffman-compressed (single and 4-stream) /
   Treeless (table reuse across blocks).
@@ -496,14 +496,15 @@ def _decode_block(block: bytes, out: bytearray, st: _FrameState) -> None:
     out += literals[lit_pos:]
 
 
-def zstd_compress(data: bytes) -> bytes:
+def zstd_compress(data: bytes, checksum: bool = False) -> bytes:
     """Encode one RFC 8878 frame. Entropy-coded (LZ77 + Huffman literals +
     Predefined-FSE sequences, :mod:`.zstd_enc`) — zstd-selected writes
     actually compress; per block the cheapest of Raw / RLE / Compressed
-    wins, so output never exceeds store mode."""
+    wins, so output never exceeds store mode (+4 bytes with
+    ``checksum=True``: the XXH64-low-32 Content_Checksum)."""
     from .zstd_enc import compress
 
-    return compress(data)
+    return compress(data, checksum=checksum)
 
 
 def zstd_compress_store(data: bytes) -> bytes:
@@ -603,7 +604,15 @@ def zstd_decompress(data: bytes) -> bytes:
             if last:
                 break
         if checksum:
-            pos += 4  # xxhash64 low 32 bits — presence handled, not verified
+            from .xxhash64 import xxh64
+
+            stored = int.from_bytes(data[pos : pos + 4], "little")
+            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            if stored != got:
+                raise ValueError(
+                    f"zstd: content checksum mismatch "
+                    f"(stored {stored:#010x}, computed {got:#010x})")
+            pos += 4
         if fcs is not None and len(out) - frame_start != fcs:
             raise ValueError(
                 f"zstd: frame decoded {len(out) - frame_start} bytes, "

@@ -552,18 +552,21 @@ def _find_sequences(data: bytes, start: int, end: int, tab: list[int],
 # ------------------------------------------------------------- frames
 
 
-def compress(data: bytes) -> bytes:
+def compress(data: bytes, checksum: bool = False) -> bytes:
     """One RFC 8878 single-segment frame; per block the cheapest of
-    Raw / RLE / Compressed (Huffman literals + Predefined-FSE sequences)."""
+    Raw / RLE / Compressed (Huffman literals + Predefined-FSE sequences).
+    ``checksum=True`` sets the descriptor flag and appends the XXH64
+    low-32 Content_Checksum (verified by libzstd and by our decoder)."""
     n = len(data)
+    cflag = 0x04 if checksum else 0
     if n <= 255:
-        head = bytes([0x20, n])
+        head = bytes([0x20 | cflag, n])
     elif n - 256 <= 0xFFFF:
-        head = bytes([0x60]) + struct.pack("<H", n - 256)
+        head = bytes([0x60 | cflag]) + struct.pack("<H", n - 256)
     elif n <= 0xFFFFFFFF:
-        head = bytes([0xA0]) + struct.pack("<I", n)
+        head = bytes([0xA0 | cflag]) + struct.pack("<I", n)
     else:
-        head = bytes([0xE0]) + struct.pack("<Q", n)
+        head = bytes([0xE0 | cflag]) + struct.pack("<Q", n)
     out = bytearray(struct.pack("<I", _MAGIC) + head)
 
     hashes = _hash_positions(data)
@@ -605,4 +608,8 @@ def compress(data: bytes) -> bytes:
                 out += block
         pos = blk_end
         if last:
+            if checksum:
+                from .xxhash64 import xxh64
+
+                out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
             return bytes(out)
