@@ -408,11 +408,41 @@ def _lit_header(ltype: int, rs: int) -> bytes:
 # ---------------------------------------------------------- sequences
 
 
+def _seq_table_choice(codes: list[int], default_enc: _FseEncoder,
+                      al_cap: int):
+    """Pick the cheapest expressible table for one code stream:
+    RLE (mode 1, one byte) for a single distinct code; a custom
+    FSE_Compressed table (mode 2, normalized from the actual histogram)
+    when there are enough sequences to amortize its description; else the
+    RFC Predefined distribution (mode 0, nothing on the wire).
+    Returns (mode, encoder, description_bytes)."""
+    freqs: dict[int, int] = {}
+    for c in codes:
+        freqs[c] = freqs.get(c, 0) + 1
+    if len(freqs) == 1:
+        c = codes[0]
+        counts = [0] * c + [1]
+        return 1, _FseEncoder(counts, 0), bytes([c])
+    if len(codes) >= 64:
+        al = min(al_cap, max(5, len(codes).bit_length() - 1))
+        while (1 << al) < len(freqs):
+            al += 1
+        if al <= al_cap:
+            try:
+                counts = _fse_normalize(freqs, al)
+                return 2, _FseEncoder(counts, al), _fse_write_ncount(counts,
+                                                                     al)
+            except ValueError:
+                pass
+    return 0, default_enc, b""
+
+
 def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
-    """Sequences section with the Predefined LL/OF/ML tables (mode byte
-    0b00000000). ``seqs`` holds (literal_length, offset, match_length);
-    repeated-offset codes are never used (offset_value = offset + 3), so
-    the decoder's rep history needs no mirroring here."""
+    """Sequences section. Per code stream the cheapest of Predefined /
+    RLE / custom FSE_Compressed tables (accuracy caps 9/8/9 for LL/OF/ML
+    per RFC 8878 §3.1.1.3.2.1). ``seqs`` holds (literal_length, offset,
+    match_length); repeated-offset codes are never used (offset_value =
+    offset + 3), so the decoder's rep history needs no mirroring here."""
     nseq = len(seqs)
     if nseq == 0:
         return b"\x00"
@@ -423,7 +453,6 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
     else:
         v = nseq - 0x7F00
         head = bytes([255, v & 0xFF, (v >> 8) & 0xFF])
-    head += b"\x00"  # Predefined mode for LL, OF, ML
 
     ll_codes, of_codes, ml_codes = [], [], []
     extras = []  # (of_bits, of_nb, ml_bits, ml_nb, ll_bits, ll_nb)
@@ -437,12 +466,19 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
         ml_codes.append(mc)
         extras.append((ov - (1 << oc), oc, mbits, mnb, lbits, lnb))
 
-    ll_init, ll_upd = _LL_ENC.chain(ll_codes)
-    of_init, of_upd = _OF_ENC.chain(of_codes)
-    ml_init, ml_upd = _ML_ENC.chain(ml_codes)
+    ll_mode, ll_enc, ll_desc = _seq_table_choice(ll_codes, _LL_ENC, 9)
+    of_mode, of_enc, of_desc = _seq_table_choice(of_codes, _OF_ENC, 8)
+    ml_mode, ml_enc, ml_desc = _seq_table_choice(ml_codes, _ML_ENC, 9)
+    # mode byte + descriptions in decoder-read order: LL, OF, ML
+    head += bytes([(ll_mode << 6) | (of_mode << 4) | (ml_mode << 2)])
+    head += ll_desc + of_desc + ml_desc
+
+    ll_init, ll_upd = ll_enc.chain(ll_codes)
+    of_init, of_upd = of_enc.chain(of_codes)
+    ml_init, ml_upd = ml_enc.chain(ml_codes)
 
     fields: list[tuple[int, int]] = [
-        (ll_init, _LL_ENC.log), (of_init, _OF_ENC.log), (ml_init, _ML_ENC.log),
+        (ll_init, ll_enc.log), (of_init, of_enc.log), (ml_init, ml_enc.log),
     ]
     for i, (ob, onb, mb, mnb, lb, lnb) in enumerate(extras):
         fields.append((ob, onb))
