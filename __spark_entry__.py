@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": Q.q_top_tokens,
         "lm_perplexity": Q.q_lm_perplexity,
         "distinct_tier_hll": Q.q_distinct_tier_hll,
+        "substring_dedup": Q.q_substring_dedup,
+        "bloom_dedup": Q.q_bloom_dedup,
+        "tfidf_top_terms": Q.q_tfidf_top_terms,
     }
 
 

@@ -1,0 +1,167 @@
+"""Substring dup-span detection, Bloom incremental dedup, TF-IDF top-k."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsdat_spark.text.bloom import bloom_contains, bloom_dedup, build_bloom
+from tsdat_spark.text.substring import kgram_hashes, substring_dedup
+from tsdat_spark.text.tfidf import tfidf_top_terms
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- substring
+
+
+def test_substring_shared_phrase_one_span(spark):
+    # docs 1 and 2 share the 6-token phrase -> 3 duplicated 4-grams each,
+    # merged into ONE span covering 6 tokens.
+    phrase = "alpha beta gamma delta epsilon zeta"
+    d = _docs(
+        spark,
+        [
+            (1, f"u1 u2 {phrase} u3"),
+            (2, f"{phrase} v1 v2 v3 v4"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in substring_dedup(d, k=4).collect()
+    }
+    for doc in (1, 2):
+        assert out[doc]["n_dup_kgrams"] == 3
+        assert out[doc]["n_spans"] == 1
+        assert out[doc]["dup_tokens"] == 6
+    assert out[3]["n_dup_kgrams"] == 0
+    assert out[3]["n_spans"] == 0
+    assert out[3]["dup_tokens"] == 0
+    assert out[3]["n_tokens"] == 8
+
+
+def test_substring_within_doc_repetition_counts(spark):
+    # a doc repeating its own 4-gram is corpus-duplicated (count >= 2)
+    d = _docs(spark, [(1, "a b c d x y z a b c d")])
+    row = substring_dedup(d, k=4).collect()[0]
+    # positions 0 and 7 hold the duplicated gram "a b c d"; gap 7 > k -> 2 spans
+    assert row["n_dup_kgrams"] == 2
+    assert row["n_spans"] == 2
+    assert row["dup_tokens"] == 8
+
+
+def test_substring_short_null_and_empty_docs(spark):
+    d = _docs(spark, [(1, "a b c"), (2, None), (3, ""), (4, "a b c")])
+    out = {r["doc_id"]: r for r in substring_dedup(d, k=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for doc in out.values():
+        assert doc["n_dup_kgrams"] == 0  # all shorter than k
+    assert out[2]["n_tokens"] == 0
+    assert out[3]["n_tokens"] == 0
+
+
+def test_substring_adjacent_grams_merge(spark):
+    # 5-token shared phrase, k=4 -> positions p and p+1: one span of 5 tokens
+    d = _docs(spark, [(1, "p q r s t"), (2, "z1 p q r s t z2")])
+    out = {r["doc_id"]: r for r in substring_dedup(d, k=4).collect()}
+    assert out[1]["n_dup_kgrams"] == 2
+    assert out[1]["n_spans"] == 1
+    assert out[1]["dup_tokens"] == 5
+
+
+def test_kgram_hashes_matches_manual(spark):
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+    grams = df.select(kgram_hashes(F.col("text"), 4).alias("g")).first()["g"]
+    manual = df.select(
+        F.xxhash64(F.lit("a b c d")), F.xxhash64(F.lit("b c d e"))
+    ).first()
+    assert grams == [manual[0], manual[1]]
+
+
+# ------------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    d = spark.range(0, 500).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    bm = build_bloom(d, F.col("k"), n_bits=1 << 14, n_hashes=5)
+    hits = bloom_contains(d, F.col("k"), bm).agg(
+        F.sum(F.col("__bloom_hit").cast("int"))
+    ).first()[0]
+    assert hits == 500  # every inserted key must test positive
+
+
+def test_bloom_dedup_exact_vs_antijoin(spark):
+    d = spark.createDataFrame(
+        [(i, f"t{i % 40}") for i in range(200)], "doc_id long, text string"
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    got = bloom_dedup(new, hist, F.col("text"), n_bits=1 << 10)
+    exp = new.join(hist.select("text").distinct(), "text", "left_anti")
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in exp.collect()
+    )
+
+
+def test_bloom_dedup_exact_under_heavy_false_positives(spark):
+    # 64 bits for 100 keys: the bloom is saturated, nearly everything is a
+    # candidate — the confirm join must still produce the exact answer.
+    d = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(200)], "doc_id long, text string"
+    )
+    new = d.filter(F.col("doc_id") >= 100)
+    hist = d.filter(F.col("doc_id") < 100)
+    got = bloom_dedup(new, hist, F.col("text"), n_bits=64, n_hashes=3)
+    assert got.count() == 100  # all new keys distinct from history
+
+
+def test_bloom_rejects_unaligned_bits(spark):
+    with pytest.raises(ValueError):
+        build_bloom(spark.range(1), F.col("id").cast("string"), n_bits=1001)
+
+
+# ------------------------------------------------------------------- tfidf
+
+
+def test_tfidf_scores_and_ties(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common common"),
+        ],
+    )
+    out = tfidf_top_terms(d, top_k=3)
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    n = 3
+
+    def idf_q(df_docs):
+        return round(math.log((n + 1) / (df_docs + 1)) * 1e6)
+
+    r = rows[(1, "apple")]
+    assert (r["tf"], r["df_docs"]) == (2, 1)
+    assert r["score_q"] == 2 * idf_q(1)
+    assert r["rank"] == 1
+    # doc 2: banana and cherry tie on tf; cherry (df=1) outranks banana (df=2)
+    assert rows[(2, "cherry")]["rank"] == 1
+    assert rows[(2, "banana")]["rank"] == 2
+    # common appears in every doc: idf_q = 0 -> score 0, still listed last
+    assert rows[(1, "common")]["score_q"] == 0
+
+
+def test_tfidf_equal_scores_tiebreak_by_term(spark):
+    d = _docs(spark, [(1, "zebra apple"), (2, "other words")])
+    rows = tfidf_top_terms(d, top_k=2).filter(F.col("doc_id") == 1).collect()
+    ranked = sorted(rows, key=lambda r: r["rank"])
+    assert [r["term"] for r in ranked] == ["apple", "zebra"]
+
+
+def test_tfidf_empty_docs_emit_no_rows(spark):
+    d = _docs(spark, [(1, ""), (2, None), (3, "solo")])
+    rows = tfidf_top_terms(d).collect()
+    assert {r["doc_id"] for r in rows} == {3}

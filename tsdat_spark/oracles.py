@@ -956,3 +956,100 @@ SELECT base.doc_id,
 FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) base
 LEFT JOIN agg a ON base.doc_id = a.doc_id
 """
+
+# Substring-level dup-span detection (Lee et al. 2022): the oracle groups
+# k-grams by STRING where the engine groups by xxhash64 (collision odds at
+# sf scale ~1e-11); span merge and coverage arithmetic are identical.
+# Every SUM is cast back from DuckDB HUGEINT to BIGINT.
+ORACLES["substring_dedup"] = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN []::VARCHAR[]
+              ELSE list_filter(string_split(text, ' '), x -> x != '') END AS t
+  FROM documents
+), kg AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(t[i:i+3], ' ') AS g
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(t) - 4 + 1, 0) + 1)) AS i
+  ) r
+), dup AS (
+  SELECT g FROM kg GROUP BY g HAVING count(*) >= 2
+), dp AS (
+  SELECT doc_id, pos FROM kg JOIN dup USING (g)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > 4 THEN 1 ELSE 0 END AS new_span
+  FROM dp
+), sp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+  FROM flagged
+), per_span AS (
+  SELECT doc_id, span, count(*) AS cnt,
+         max(pos) - min(pos) + 4 AS covered
+  FROM sp GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_dup_kgrams,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(SUM(covered) AS BIGINT) AS dup_tokens
+  FROM per_span GROUP BY 1
+)
+SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_dup_kgrams, 0) AS n_dup_kgrams,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens
+FROM toks LEFT JOIN per_doc p ON toks.doc_id = p.doc_id
+"""
+
+# Bloom-prefiltered incremental dedup: the engine's bloom is a prefilter
+# only (negatives bypass the join, positives are anti-join confirmed), so
+# the exact anti-join below IS its contract. NULL-text keys never match
+# (SQL null semantics on both sides) and therefore always count as new.
+ORACLES["bloom_dedup"] = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         array_to_string(
+           list_filter(string_split(text, ' '), x -> x != '')[1:5], ' ') AS k
+  FROM documents
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM keyed d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM keyed h WHERE h.doc_id % 2 = 0 AND h.k = d.k
+  )
+"""
+
+# TF-IDF top-3 per doc: integer-exact via idf_q = round(ln((N+1)/(df+1))
+# * 1e6) — the single libm call agrees across engines to ~1 ulp, nine
+# orders below the quantization step; everything after is int64.
+ORACLES["tfidf_top_terms"] = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+         tf.tf * CAST(round(
+           ln(CAST((SELECT count(*) FROM documents) + 1 AS DOUBLE)
+              / CAST(dfreq.df_docs + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+           AS score_q
+  FROM tf JOIN dfreq USING (term)
+), ranked AS (
+  SELECT doc_id, term, tf, df_docs, score_q,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_q DESC, term ASC
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df_docs, score_q, rank
+FROM ranked WHERE rank <= 3
+"""

@@ -992,3 +992,43 @@ def q_lm_perplexity(spark, sf_dir):
     d = _documents(spark, sf_dir)
     uni, bi, T, V = train_bigram_lm(d)
     return score_perplexity(d, uni, bi, T, V)
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Duplicated exact-substring detection (Lee et al. 2022): per-doc
+    counts of corpus-wide-repeated 4-gram positions merged into maximal
+    spans (see :mod:`tsdat_spark.text.substring` for the suffix-array-free
+    Spark shape: map-side k-gram hashing, one uniform-key count, one
+    hash-equi join back, one per-doc window)."""
+    from .text.substring import substring_dedup
+
+    d = _documents(spark, sf_dir)
+    return substring_dedup(d, k=4)
+
+
+def q_bloom_dedup(spark, sf_dir):
+    """Incremental batch-vs-history dedup with a Bloom prefilter: odd
+    doc_ids are the "new crawl", even doc_ids the ingested history, the
+    key a 5-token prefix fingerprint. EXACT result (bloom negatives skip
+    the join; positives are anti-join confirmed) — equals the plain
+    anti-join the oracle runs (see :mod:`tsdat_spark.text.bloom`)."""
+    from .text.bloom import bloom_dedup
+
+    d = _documents(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    key = F.array_join(F.slice(toks, 1, 5), " ")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    return bloom_dedup(new, hist, key, n_bits=1 << 17).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms with integer-quantized scores
+    (see :mod:`tsdat_spark.text.tfidf`: two partial-agg shuffles + one
+    vocabulary join + a WindowGroupLimit top-k)."""
+    from .text.tfidf import tfidf_top_terms
+
+    d = _documents(spark, sf_dir)
+    return tfidf_top_terms(d, top_k=3)

@@ -1,0 +1,126 @@
+"""Substring-level duplicated-span detection (Lee et al. 2022 style).
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+ACL 2022) removes EXACT SUBSTRINGS that repeat across a corpus, not just
+whole duplicate documents — boilerplate paragraphs, license blocks, and
+quoted passages recur inside otherwise-unique pages. Their reference
+implementation builds a corpus-wide suffix array; that is a single-machine
+construction. This module re-expresses the detection phase Spark-first:
+
+1. **Per-doc k-gram hashing, map-side.** Each document folds its token
+   array into an array of ``xxhash64`` values of its k-token windows via
+   ``transform(sequence(...), i -> xxhash64(concat_ws(slice(...))))`` —
+   no explode, no shuffle, linear in tokens.
+2. **Corpus-wide duplicate k-grams.** ``posexplode`` the hash arrays and
+   ``groupBy(hash)`` with a count: one exchange keyed by a uniform 64-bit
+   hash, map-side partial aggregation collapsing repeats before the wire.
+   A k-gram is *duplicated* when its corpus-wide occurrence count is
+   ``>= min_count`` (2 by default — same criterion Lee et al. use for the
+   length-thresholded substrings).
+3. **Join back + span merge.** Duplicated positions rejoin the exploded
+   k-grams on the same hash key (AQE reuses the exchange or broadcasts the
+   duplicate list when small), then per-document consecutive positions
+   merge into maximal spans with one window: a new span starts when
+   ``pos - lag(pos) > k`` (i.e. the covered token intervals
+   ``[pos, pos+k-1]`` neither overlap nor touch). Covered tokens per span
+   are exactly ``last - first + k`` because merged spans are gap-free.
+
+Output is one row per document — ``(id, n_tokens, n_dup_kgrams, n_spans,
+dup_tokens)`` — all integers, with zero-rows for documents containing no
+duplicated k-gram. ``dup_tokens / n_tokens`` is the duplicated-substring
+fraction a C4-style filter would threshold on.
+
+At 100 TB: the explode is O(total tokens) rows but every downstream key is
+an unskewed 64-bit hash (stop-phrase k-grams concentrate COUNT, not rows —
+the count aggregate absorbs them map-side; the join back carries only
+hashes with count >= min_count). The per-document window and the two final
+aggregates share the ``id`` partitioning, so Spark plans one exchange for
+all three. Nothing materializes corpus-scale state in one task.
+
+Reference analog: tsdat has no substring dedup; this is part of the
+LLM-training-data operator family (cf. text/dedup.py, text/lines.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kgram_hashes(text: Column, k: int) -> Column:
+    """Array of ``xxhash64`` values of the k-token windows of ``text``.
+
+    Whitespace-tokenized; documents shorter than ``k`` tokens yield an
+    empty array. Entirely map-side (one ``transform`` over a ``sequence``).
+    """
+    toks = F.filter(F.split(text, " "), lambda x: x != "")
+    n = F.size(toks)
+    return F.when((text.isNull()) | (n - k < 0), F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring statistics.
+
+    Returns ``(id, n_tokens, n_dup_kgrams, n_spans, dup_tokens)`` where
+    ``n_dup_kgrams`` counts this document's k-gram positions whose k-gram
+    occurs ``>= min_count`` times corpus-wide, ``n_spans`` counts maximal
+    merged runs of such positions, and ``dup_tokens`` counts the tokens
+    those runs cover.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_tokens = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(toks))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        kgram_hashes(F.col(text_col), k).alias("__grams"),
+    )
+    exploded = base.select("__id", F.posexplode("__grams").alias("__pos", "__h"))
+    dup = (
+        exploded.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    dup_pos = exploded.join(dup, "__h").select("__id", "__pos")
+
+    w = Window.partitionBy("__id").orderBy("__pos")
+    new_span = F.when(
+        F.col("__pos") - F.lag("__pos").over(w) > k, F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = dup_pos.withColumn(
+        "__span",
+        F.sum(new_span).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_span = spans.groupBy("__id", "__span").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        (F.max("__pos") - F.min("__pos") + k).alias("__covered"),
+    )
+    per_doc = per_span.groupBy("__id").agg(
+        F.sum("__cnt").alias("n_dup_kgrams"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("__covered").alias("dup_tokens"),
+    )
+    return (
+        base.select("__id", "n_tokens")
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_kgrams", F.lit(0)).cast("long").alias("n_dup_kgrams"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )
