@@ -149,8 +149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": Q.q_lm_perplexity,
         "distinct_tier_hll": Q.q_distinct_tier_hll,
         "substring_dedup": Q.q_substring_dedup,
+        "substring_scrub": Q.q_substring_scrub,
         "bloom_dedup": Q.q_bloom_dedup,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
+        "dsir_weights": Q.q_dsir_weights,
     }
 
 

@@ -87,6 +87,10 @@ def main() -> None:
         "pii_scrub", "line_dedup", "pack_sequences", "bpe_train",
         # round 6: CCNet-style LM quality scoring
         "lm_perplexity",
+        # round 6: substring dup-spans + scrub, bloom incremental dedup,
+        # tf-idf keywords, DSIR importance weights
+        "substring_dedup", "substring_scrub", "bloom_dedup",
+        "tfidf_top_terms", "dsir_weights",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
@@ -188,7 +192,9 @@ def main() -> None:
                "dedup_clusters", "m4_downsample", "repetition_signals",
                "contamination_overlap", "pii_scrub", "line_dedup",
                "pack_sequences", "bpe_train")
-    _r6_new = ("zstd_codec", "lm_perplexity")
+    _r6_new = ("zstd_codec", "lm_perplexity", "substring_dedup",
+               "substring_scrub", "bloom_dedup", "tfidf_top_terms",
+               "dsir_weights")
     extra["suite_r02_comparable_sec"] = round(
         sum(v for k, v in timings.items()
             if k not in _r3_new + _r4_new + _r5_new + _r6_new), 3

@@ -165,3 +165,95 @@ def test_tfidf_empty_docs_emit_no_rows(spark):
     d = _docs(spark, [(1, ""), (2, None), (3, "solo")])
     rows = tfidf_top_terms(d).collect()
     assert {r["doc_id"] for r in rows} == {3}
+
+
+def test_substring_scrub_first_occurrence_survives(spark):
+    phrase = "alpha beta gamma delta epsilon zeta"
+    d = _docs(
+        spark,
+        [
+            (1, f"u1 u2 {phrase} u3"),
+            (2, f"{phrase} v1 v2 v3 v4"),
+        ],
+    )
+    from tsdat_spark.text.substring import substring_scrub
+
+    out = {r["doc_id"]: r for r in substring_scrub(d, k=4).collect()}
+    # doc 1 holds the first occurrence (doc order) -> untouched
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text_clean"] == f"u1 u2 {phrase} u3"
+    # doc 2 loses the 6 phrase tokens, keeps the rest in order
+    assert out[2]["n_removed"] == 6
+    assert out[2]["text_clean"] == "v1 v2 v3 v4"
+
+
+def test_substring_scrub_within_doc_keeps_first(spark):
+    from tsdat_spark.text.substring import substring_scrub
+
+    d = _docs(spark, [(1, "a b c d x y z a b c d")])
+    row = substring_scrub(d, k=4).collect()[0]
+    assert row["n_removed"] == 4
+    assert row["text_clean"] == "a b c d x y z"
+
+
+def test_substring_scrub_null_and_short_docs(spark):
+    from tsdat_spark.text.substring import substring_scrub
+
+    d = _docs(spark, [(1, None), (2, ""), (3, "a b"), (4, "a b")])
+    out = {r["doc_id"]: r for r in substring_scrub(d, k=4).collect()}
+    assert out[1]["text_clean"] == ""
+    assert out[2]["text_clean"] == ""
+    assert out[3]["text_clean"] == "a b"  # shorter than k: never duplicated
+    assert out[4]["text_clean"] == "a b"
+    assert all(r["n_removed"] == 0 for r in out.values())
+
+
+# -------------------------------------------------------------------- dsir
+
+
+def test_dsir_weights_match_manual_model(spark):
+    from tsdat_spark.text.dsir import dsir_weights
+
+    d = spark.createDataFrame(
+        [
+            (1, "en", "cat dog"),
+            (2, "fr", "chien chat"),
+            (3, "en", "cat cat"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(d, is_target=F.col("lang") == "en").collect()
+    }
+    # manual model: c_r = {cat:3, dog:1, chien:1, chat:1}, T_r=6;
+    # c_t = {cat:3, dog:1, chien:0, chat:0}, T_t=4; V=4
+    c_r = {"cat": 3, "dog": 1, "chien": 1, "chat": 1}
+    c_t = {"cat": 3, "dog": 1, "chien": 0, "chat": 0}
+
+    def rq(w):
+        return round(
+            (math.log((c_t[w] + 1) / 8.0) - math.log((c_r[w] + 1) / 10.0)) * 1e6
+        )
+
+    assert out[1]["logw_micro"] == rq("cat") + rq("dog")
+    assert out[2]["logw_micro"] == rq("chien") + rq("chat")
+    assert out[3]["logw_micro"] == 2 * rq("cat")
+    assert out[1]["selected"] and out[3]["selected"]
+    assert not out[2]["selected"]  # fr doc scores target-unlike
+
+
+def test_dsir_empty_docs_score_zero(spark):
+    from tsdat_spark.text.dsir import dsir_weights
+
+    d = spark.createDataFrame(
+        [(1, "en", "hello world"), (2, "en", None), (3, "fr", "")],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(d, is_target=F.col("lang") == "en").collect()
+    }
+    assert out[2]["logw_micro"] == 0 and not out[2]["selected"]
+    assert out[3]["logw_micro"] == 0 and not out[3]["selected"]
+    assert out[2]["n_tokens"] == 0

@@ -1053,3 +1053,107 @@ WITH words AS (
 SELECT doc_id, term, tf, df_docs, score_q, rank
 FROM ranked WHERE rank <= 3
 """
+
+# Substring scrub: removal decision is "not the gram's first occurrence",
+# which the oracle expresses as row_number() > 1 over (doc_id, pos) —
+# equivalent to the engine's (count >= 2 AND struct != min(struct)).
+ORACLES["substring_scrub"] = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN []::VARCHAR[]
+              ELSE list_filter(string_split(text, ' '), x -> x != '') END AS t
+  FROM documents
+), kg AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(t[i:i+3], ' ') AS g
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, greatest(len(t) - 4 + 1, 0) + 1)) AS i
+  ) r
+), marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM kg
+), removed AS (
+  SELECT doc_id, pos FROM marked WHERE rn > 1
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > 4 THEN 1 ELSE 0 END AS ns
+  FROM removed
+), sp AS (
+  SELECT doc_id, pos,
+         SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+  FROM flagged
+), iv AS (
+  SELECT doc_id, span, min(pos) AS s, max(pos) + 3 AS e
+  FROM sp GROUP BY 1, 2
+), per_doc_removed AS (
+  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+  FROM iv GROUP BY 1
+), tokpos AS (
+  SELECT doc_id, CAST(j - 1 AS BIGINT) AS idx, t[j] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS j) rr
+), kept AS (
+  SELECT tp.doc_id, tp.idx, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM iv
+    WHERE iv.doc_id = tp.doc_id AND tp.idx BETWEEN iv.s AND iv.e
+  )
+), kept_text AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_removed, 0) AS n_removed,
+       COALESCE(kt.text_clean, '') AS text_clean
+FROM toks
+LEFT JOIN per_doc_removed p USING (doc_id)
+LEFT JOIN kept_text kt USING (doc_id)
+"""
+
+# DSIR importance weights: per-word log-ratio quantized to 1e-6 BEFORE the
+# per-doc summation, so both engines sum identical int64 values in any
+# order. Formula association is pinned: each ln's argument is a single
+# double/double division, and the two lns subtract before quantization.
+ORACLES["dsir_weights"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN text IS NULL THEN []::VARCHAR[]
+              ELSE list_filter(string_split(text, ' '), x -> x != '') END AS t
+  FROM documents
+), words AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+         unnest(t) AS term
+  FROM toks
+), vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c_r,
+         CAST(SUM(tgt) AS BIGINT) AS c_t
+  FROM words GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS t_r, CAST(SUM(c_t) AS BIGINT) AS t_t,
+         CAST(count(*) AS BIGINT) AS v
+  FROM vocab
+), ratio AS (
+  SELECT term,
+         CAST(round((
+           ln((c_t + 1) / CAST(t_t + v AS DOUBLE))
+           - ln((c_r + 1) / CAST(t_r + v AS DOUBLE))
+         ) * 1e6) AS BIGINT) AS rq
+  FROM vocab, tot
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2
+), sc AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.tf * ratio.rq) AS BIGINT) AS logw_micro
+  FROM tf JOIN ratio USING (term) GROUP BY 1
+)
+SELECT toks.doc_id,
+       COALESCE(sc.n_tokens, 0) AS n_tokens,
+       COALESCE(sc.logw_micro, 0) AS logw_micro,
+       COALESCE(sc.logw_micro, 0) > 0 AS selected
+FROM toks LEFT JOIN sc USING (doc_id)
+"""

@@ -1032,3 +1032,25 @@ def q_tfidf_top_terms(spark, sf_dir):
 
     d = _documents(spark, sf_dir)
     return tfidf_top_terms(d, top_k=3)
+
+
+def q_substring_scrub(spark, sf_dir):
+    """Duplicated exact-substring REMOVAL (Lee et al. 2022's transform):
+    all-but-first occurrences of corpus-duplicated 4-gram spans are cut and
+    each doc's surviving tokens re-joined (first occurrence wins under the
+    stable (doc_id, pos) order — same contract as line_dedup)."""
+    from .text.substring import substring_scrub
+
+    d = _documents(spark, sf_dir)
+    return substring_scrub(d, k=4)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score every doc by the
+    quantized log-likelihood ratio of an en-target unigram model over the
+    raw-corpus model (see :mod:`tsdat_spark.text.dsir`; exact-unigram
+    variant of the hashed-ngram recipe so the oracle can replicate it)."""
+    from .text.dsir import dsir_weights
+
+    d = _documents(spark, sf_dir)
+    return dsir_weights(d, is_target=F.col("lang") == "en")

@@ -37,6 +37,12 @@ hashes with count >= min_count). The per-document window and the two final
 aggregates share the ``id`` partitioning, so Spark plans one exchange for
 all three. Nothing materializes corpus-scale state in one task.
 
+:func:`substring_scrub` is the matching TRANSFORM: every duplicated
+k-gram position that is not the gram's globally-first occurrence (stable
+``(doc_id, pos)`` order, same first-wins contract as line_dedup) has its
+covered tokens removed, and each document's surviving tokens are re-joined
+in order — Lee et al.'s actual dedup step, not just the statistics.
+
 Reference analog: tsdat has no substring dedup; this is part of the
 LLM-training-data operator family (cf. text/dedup.py, text/lines.py).
 """
@@ -123,4 +129,98 @@ def substring_dedup(
             F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
             F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
         )
+    )
+
+
+def substring_scrub(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove all-but-first occurrences of duplicated k-gram spans.
+
+    A token position is *removed* when it falls inside a maximal span of
+    k-gram positions whose k-gram occurs elsewhere in the corpus AND whose
+    occurrence is not the gram's first under the stable global order
+    ``(doc_id, pos)`` — so exactly one copy of every duplicated substring
+    survives (Lee et al. 2022's transform; first-wins like line_dedup).
+
+    Returns ``(id, n_tokens, n_removed, text_clean)``. The span merge uses
+    the same gap-free criterion as :func:`substring_dedup`, so
+    ``n_removed`` is the exact size of the union of removed-gram token
+    intervals.
+
+    Scale shape: one groupBy on the uniform 64-bit gram hash computing
+    ``(count, min(struct(doc_id, pos)))`` with map-side partials (hot
+    stop-phrase grams collapse before the exchange), one hash-equi join
+    back, one per-doc window, and a per-doc interval array (bounded by
+    document size) consumed by a higher-order filter — no Python UDFs.
+    """
+    split_toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # NULL text must yield an empty token array (split(NULL) is NULL and
+    # would propagate a NULL text_clean where the contract says "").
+    toks_expr = F.when(
+        F.col(text_col).isNull(), F.array().cast("array<string>")
+    ).otherwise(split_toks)
+    n_tokens = F.size(toks_expr)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        toks_expr.alias("__toks"),
+        kgram_hashes(F.col(text_col), k).alias("__grams"),
+    )
+    exploded = base.select(
+        "__id", F.posexplode("__grams").alias("__pos", "__h")
+    )
+    first = exploded.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct("__id", "__pos")).alias("__first"),
+    )
+    removed = (
+        exploded.join(first, "__h")
+        .filter(
+            (F.col("__c") >= 2)
+            & (F.struct("__id", "__pos") != F.col("__first"))
+        )
+        .select("__id", "__pos")
+    )
+
+    w = Window.partitionBy("__id").orderBy("__pos")
+    new_span = F.when(
+        F.col("__pos") - F.lag("__pos").over(w) > k, F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = removed.withColumn(
+        "__span",
+        F.sum(new_span).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    intervals = (
+        spans.groupBy("__id", "__span")
+        .agg(
+            F.min("__pos").alias("__s"),
+            (F.max("__pos") + k - 1).alias("__e"),
+        )
+        .groupBy("__id")
+        .agg(
+            F.collect_list(F.struct("__s", "__e")).alias("__iv"),
+            F.sum(F.col("__e") - F.col("__s") + 1).alias("n_removed"),
+        )
+    )
+    joined = base.join(intervals, "__id", "left")
+    iv = F.coalesce(
+        F.col("__iv"), F.array().cast("array<struct<__s:int,__e:int>>")
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.exists(
+            iv, lambda s: (i >= s.getField("__s")) & (i <= s.getField("__e"))
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
     )
