@@ -232,3 +232,73 @@ def test_stream_sink_replay_is_idempotent(spark, tmp_path):
     # the next real batch goes through
     assert snapshot_sink(tbl, _df(spark, 7, 10), 1) is True
     assert tbl.snapshot().n_rows_total == 10
+
+
+def test_history_dedup_sink_cross_batch_exact(spark, tmp_path):
+    """Cross-batch dedup against the full snapshot history: later batches
+    drop keys seen in ANY earlier batch; within-batch keeper is the min
+    order_col row; replays append nothing."""
+    from tsdat_spark.streaming import history_dedup_sink
+
+    tbl = SnapshotTable(str(tmp_path / "tbl"))
+    sink = history_dedup_sink(tbl, key_cols=("text",), order_col="doc_id",
+                              n_bits=1 << 10)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # batch 0: internal duplicate of "aa" -> keeper doc 1
+    sink(docs([(1, "aa"), (2, "bb"), (3, "aa")]), 0)
+    got = {r["doc_id"] for r in tbl.read(spark).collect()}
+    assert got == {1, 2}
+
+    # batch 1: "bb" is history, "cc"/"dd" are new
+    sink(docs([(10, "bb"), (11, "cc"), (12, "dd")]), 1)
+    got = {r["doc_id"] for r in tbl.read(spark).collect()}
+    assert got == {1, 2, 11, 12}
+
+    # simulated post-commit replay of batch 1: nothing changes
+    sink(docs([(10, "bb"), (11, "cc"), (12, "dd")]), 1)
+    assert {r["doc_id"] for r in tbl.read(spark).collect()} == {1, 2, 11, 12}
+
+    # batch 2 dedups against batches 0 AND 1
+    sink(docs([(20, "cc"), (21, "ee")]), 2)
+    assert {r["doc_id"] for r in tbl.read(spark).collect()} == {1, 2, 11, 12, 21}
+
+
+def test_history_dedup_sink_exact_under_saturated_bloom(spark, tmp_path):
+    """A deliberately tiny bloom (64 bits) forces false positives on
+    nearly every key — the confirm join must keep the result exact."""
+    from tsdat_spark.streaming import history_dedup_sink
+
+    tbl = SnapshotTable(str(tmp_path / "tbl"))
+    sink = history_dedup_sink(tbl, key_cols=("text",), order_col="doc_id",
+                              n_bits=64, n_hashes=3)
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"k{i}") for i in range(lo, hi)], "doc_id long, text string"
+        )
+
+    sink(docs(0, 40), 0)
+    sink(docs(20, 60), 1)   # 20-39 are dups, 40-59 new
+    got = sorted(r["doc_id"] for r in tbl.read(spark).collect())
+    assert got == list(range(60))
+
+
+def test_history_dedup_sink_bootstrap_from_existing_table(spark, tmp_path):
+    """A restarted sink (fresh bloom state) must still dedup against rows
+    ingested before the restart — the bootstrap build covers history."""
+    from tsdat_spark.streaming import history_dedup_sink
+
+    tbl = SnapshotTable(str(tmp_path / "tbl"))
+    first = history_dedup_sink(tbl, key_cols=("text",), order_col="doc_id")
+    first(spark.createDataFrame([(1, "old")], "doc_id long, text string"), 0)
+
+    # new sink instance = restart; batch replays an old key + a new one
+    second = history_dedup_sink(tbl, key_cols=("text",), order_col="doc_id")
+    second(
+        spark.createDataFrame([(2, "old"), (3, "new")],
+                              "doc_id long, text string"), 1
+    )
+    assert {r["doc_id"] for r in tbl.read(spark).collect()} == {1, 3}

@@ -517,3 +517,97 @@ def stream_append_snapshots(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def history_dedup_sink(
+    table,
+    key_cols=("text",),
+    order_col: str = "doc_id",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+):
+    """foreachBatch sink: dedup each micro-batch against ALL history.
+
+    The incremental-ingest pattern a continuously-landing crawl needs
+    beyond :func:`dedup_stream`'s watermark horizon: every batch is
+    deduplicated against the ENTIRE previously-ingested corpus (held in a
+    snapshot-versioned table), and the survivors become history for the
+    next batch. The cross-batch membership test is the Bloom prefilter
+    from :mod:`tsdat_spark.text.bloom`, kept INCREMENTALLY:
+
+    - bootstrap: one O(history) bloom build from the table's current
+      snapshot, once per (re)start;
+    - per batch: bloom-negative rows skip the history entirely (no scan,
+      no shuffle); only candidates (true dups + false positives) run the
+      exact anti-join confirm, so the result is EXACT; the appended rows'
+      bits OR into the driver-held bitmap — O(batch), never O(history).
+
+    Within a batch, the keeper is the minimum ``order_col`` row per key
+    (deterministic). Crash replays reuse :func:`snapshot_sink`'s
+    ``stream_batch_id`` ancestry guard — a replayed batch appends nothing;
+    re-ORing its bits is harmless because the bloom only prefilters.
+
+    At 100 TB: the confirm join reads the history table per batch — lay
+    the table out bucketed/partitioned by key hash so that scan prunes to
+    the candidate buckets; and size ``n_bits`` to the corpus horizon
+    (false-positive rate, and with it confirm-join traffic, degrades
+    gracefully as history outgrows capacity — rebuild at the next
+    bootstrap with a bigger table to restore it).
+
+    Returns the sink callable for ``foreachBatch``.
+    """
+    import numpy as np
+
+    from .text.bloom import bloom_contains, build_bloom
+
+    from pyspark.sql import Window
+
+    state: dict = {"bloom": None}
+    keys = list(key_cols)
+
+    def _key(df: DataFrame):
+        return F.concat_ws("\x1f", *[F.col(c) for c in keys])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        has_history = table.current_snapshot_id() is not None
+        if state["bloom"] is None:
+            if has_history:
+                state["bloom"] = np.frombuffer(
+                    build_bloom(table.read(spark), _key(table.read(spark)),
+                                n_bits=n_bits, n_hashes=n_hashes),
+                    dtype=np.uint8,
+                ).copy()
+            else:
+                state["bloom"] = np.zeros(n_bits // 8, dtype=np.uint8)
+
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+        b = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        flagged = bloom_contains(
+            b, _key(b), state["bloom"].tobytes(), n_hashes=n_hashes
+        )
+        definite_new = flagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+        candidates = flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+        if has_history:
+            hist_keys = (
+                table.read(spark).select(_key(table.read(spark)).alias("__k")).distinct()
+            )
+            confirmed = candidates.join(
+                hist_keys, on=_key(candidates) == F.col("__k"), how="left_anti"
+            )
+        else:
+            confirmed = candidates
+        new_rows = definite_new.unionByName(confirmed)
+        appended = snapshot_sink(table, new_rows, batch_id)
+        if appended:
+            state["bloom"] |= np.frombuffer(
+                build_bloom(new_rows, _key(new_rows),
+                            n_bits=n_bits, n_hashes=n_hashes),
+                dtype=np.uint8,
+            )
+
+    return sink
