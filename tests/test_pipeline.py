@@ -98,3 +98,45 @@ def test_rollup_job_crash_resume_builds_missing_tiers(raw, tmp_path):
     r2 = run_rollup_job(turns, out)
     assert not r2.written_days
     assert sorted(r2.skipped_days) == sorted(r0.written_days)
+
+
+def test_run_corpus_export_end_to_end(spark, tmp_path):
+    """tokenize -> pack -> shard: the packed stream is contiguous (every
+    doc starts where the previous ended), shards are internally ordered,
+    and the manifest + merges sidecars round-trip."""
+    import json
+
+    from tsdat_spark.pipeline import run_corpus_export
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest new newer " * (1 + i % 3)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "export")
+    manifest = run_corpus_export(spark, docs, out, n_merges=8, seq_len=16,
+                                 shards=3)
+    assert manifest["n_docs"] == 20
+    assert manifest["n_tokens"] > 0
+    assert manifest["stream_end"] == manifest["n_tokens"]
+
+    written = spark.read.parquet(f"{out}/shards").orderBy("doc_id").collect()
+    # contiguity: offsets are the exclusive prefix sum of token counts
+    expect = 0
+    for r in written:
+        assert r["start_offset"] == expect
+        assert r["seq_id"] == r["start_offset"] // 16
+        assert r["pos_in_seq"] == r["start_offset"] % 16
+        assert len(r["bpe_tokens"]) == r["n_bpe"]
+        expect += r["n_bpe"]
+
+    merges = json.loads(open(f"{out}/merges.json").read())
+    assert 0 < len(merges) <= 8
+    m2 = json.loads(open(f"{out}/manifest.json").read())
+    assert m2["n_docs"] == 20 and m2["seq_len"] == 16
+
+    # determinism: a second export is byte-identical on the packed stream
+    out2 = str(tmp_path / "export2")
+    run_corpus_export(spark, docs, out2, n_merges=8, seq_len=16, shards=3)
+    a = spark.read.parquet(f"{out}/shards").orderBy("doc_id").collect()
+    b = spark.read.parquet(f"{out2}/shards").orderBy("doc_id").collect()
+    assert a == b

@@ -250,3 +250,86 @@ def run_rollup_job_snapshot(
     fs.write_text(marker, _json.dumps({"snapshot_id": sid,
                                        "table_root": table.root}))
     return result
+
+
+def run_corpus_export(
+    spark,
+    docs: DataFrame,
+    out_root: str,
+    merges: list | None = None,
+    n_merges: int = 32,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int | None = None,
+) -> dict:
+    """End-to-end training-data export: tokenize → pack → write shards.
+
+    The last mile of the LLM-data pipeline, composed from the engine's own
+    operators so every stage keeps its audited scale shape:
+
+    1. **tokenize** — :func:`~tsdat_spark.text.bpe.encode_bpe` with the
+       given merges (or ``train_bpe`` on the corpus when none are passed);
+       Arrow-batched, per-distinct-word cached;
+    2. **pack** — :func:`~tsdat_spark.text.packing.pack_sequences` over the
+       BPE token counts (two-phase distributed prefix scan, zero-exchange
+       final plan): every document gets its global ``start_offset`` /
+       ``seq_id`` / ``pos_in_seq`` under the stable ``id_col`` order;
+    3. **shard** — ``repartitionByRange(seq_id)`` + in-partition sort by
+       ``(seq_id, pos_in_seq)``, so each parquet shard holds a contiguous,
+       internally-ordered run of training sequences (a reader streams
+       shards in name order and sees the exact packed stream);
+    4. **manifest** — ``merges.json`` (the tokenizer) + ``manifest.json``
+       (doc/token/sequence counts) beside the shards, both through the FS
+       scheme registry (object-store ready).
+
+    Returns the manifest dict. Deterministic end to end: same corpus +
+    same merges → byte-identical shard contents.
+    """
+    import json as _json
+
+    from .io.fs import get_filesystem
+    from .text.bpe import encode_bpe, train_bpe
+    from .text.packing import pack_sequences
+
+    if merges is None:
+        merges = train_bpe(docs, n_merges=n_merges, text_col=text_col)
+    enc = encode_bpe(docs, merges, text_col=text_col, out_col="bpe_tokens")
+    enc = enc.withColumn("n_bpe", F.size("bpe_tokens").cast("long"))
+    packed = pack_sequences(
+        enc, seq_len, id_col=id_col, count_col="n_bpe", text_col=text_col
+    )
+    joined = enc.join(
+        packed.select(id_col, "start_offset", "seq_id", "pos_in_seq", "n_spans"),
+        id_col,
+    )
+    n_shards = shards or max(joined.rdd.getNumPartitions() // 4, 1)
+    out = (
+        joined.repartitionByRange(n_shards, F.col("seq_id"), F.col(id_col))
+        .sortWithinPartitions("seq_id", "pos_in_seq", id_col)
+        .select(id_col, "seq_id", "pos_in_seq", "start_offset", "n_bpe",
+                "n_spans", "bpe_tokens")
+    )
+    out.write.mode("overwrite").parquet(f"{out_root}/shards")
+
+    written = spark.read.parquet(f"{out_root}/shards")
+    totals = written.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("n_tokens"),
+        (F.max(F.col("start_offset") + F.col("n_bpe"))).alias("stream_end"),
+    ).first()
+    manifest = {
+        "n_docs": int(totals[0] or 0),
+        "n_tokens": int(totals[1] or 0),
+        "stream_end": int(totals[2] or 0),
+        "n_sequences": int(-(-(totals[2] or 0) // seq_len)),
+        "seq_len": seq_len,
+        "n_merges": len(merges),
+        "shards": n_shards,
+    }
+    fs = get_filesystem(out_root)
+    fs.makedirs(out_root)
+    fs.write_text(f"{out_root}/merges.json",
+                  _json.dumps([[m[0], m[1]] for m in merges]))
+    fs.write_text(f"{out_root}/manifest.json", _json.dumps(manifest))
+    return manifest
