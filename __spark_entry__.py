@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "dsir_weights": Q.q_dsir_weights,
         "bm25_top_terms": Q.q_bm25_top_terms,
+        "knn_classify": Q.q_knn_classify,
     }
 
 

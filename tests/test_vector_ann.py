@@ -260,3 +260,42 @@ def test_lsh_multi_single_table_matches_single_table_form(vecs):
     a = {(r["id_a"], r["id_b"], r["cosine"]) for r in ann_lsh_pairs(vecs, n_planes=8, dim=dim).collect()}
     b = {(r["id_a"], r["id_b"], r["cosine"]) for r in ann_lsh_pairs_multi(vecs, n_planes=8, n_tables=1, dim=dim).collect()}
     assert a == b
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """Hand-built 2-D embeddings: queries sit inside clearly-separated
+    label clusters; majority vote recovers the cluster label, and an
+    engineered 2-2-1 vote tie breaks to the smaller label."""
+    from tsdat_spark.queries import q_knn_classify
+    import pandas as pd
+    import tempfile, os
+
+    rows = []
+    # eval vectors (vec_id < 20): one in cluster A, one in cluster B
+    rows.append((0, [1.0, 0.0], 7))    # true label 7, sits in cluster A
+    rows.append((1, [0.0, 1.0], 9))    # true label 9, sits in cluster B
+    # cluster A train: label 7 (3 vectors nearest to [1,0])
+    for i, eps in enumerate([0.00, 0.01, 0.02]):
+        rows.append((20 + i, [1.0, eps], 7))
+    # cluster A decoys: labels 3 and 5, slightly farther
+    rows.append((23, [1.0, 0.30], 3))
+    rows.append((24, [1.0, 0.35], 5))
+    # cluster B train: 2 votes label 2, 2 votes label 1, 1 vote label 8
+    rows.append((30, [0.00, 1.0], 2))
+    rows.append((31, [0.01, 1.0], 2))
+    rows.append((32, [0.02, 1.0], 1))
+    rows.append((33, [0.03, 1.0], 1))
+    rows.append((34, [0.04, 1.0], 8))
+
+    tmp = tempfile.mkdtemp()
+    pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [[float(x) for x in r[1]] for r in rows],
+         "label": [r[2] for r in rows]}
+    ).to_parquet(os.path.join(tmp, "embeddings.parquet"))
+
+    out = {r["query_id"]: r for r in q_knn_classify(spark, tmp).collect()}
+    assert out[0]["pred_label"] == 7 and out[0]["correct"]
+    # query 1: top-5 votes are {2:2, 1:2, 8:1} -> tie 2 vs 1 -> label 1 wins
+    assert out[1]["pred_label"] == 1 and not out[1]["correct"]
+    assert out[1]["n_votes"] == 2

@@ -1205,3 +1205,41 @@ WITH words AS (
 SELECT doc_id, term, tf, df_docs, dl, score_q, rank
 FROM ranked WHERE rank <= 3
 """
+
+# kNN classification eval: majority label among the top-5 cosine
+# neighbors; the cosine RANKING reuses knn_cosine's proven cross-engine
+# ordering (raw doubles, neighbor_id tie-break), and the vote stage is
+# pure integers.
+ORACLES["knn_classify"] = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS true_label, v AS qv
+  FROM e WHERE vec_id < 20
+), scored AS (
+  SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id,
+         e.label AS neighbor_label,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM e, q WHERE e.vec_id >= 20
+), ranked AS (
+  SELECT query_id, true_label, neighbor_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, true_label, neighbor_label,
+         CAST(count(*) AS BIGINT) AS n_votes
+  FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3
+), win AS (
+  SELECT query_id, true_label, neighbor_label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, neighbor_label ASC) AS vr
+  FROM votes
+)
+SELECT query_id, CAST(true_label AS INT) AS true_label,
+       CAST(neighbor_label AS INT) AS pred_label, n_votes,
+       neighbor_label = true_label AS correct
+FROM win WHERE vr = 1
+"""

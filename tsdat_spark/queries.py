@@ -1064,3 +1064,49 @@ def q_bm25_top_terms(spark, sf_dir):
 
     d = _documents(spark, sf_dir)
     return bm25_top_terms(d, top_k=3)
+
+
+def q_knn_classify(spark, sf_dir):
+    """kNN label classification eval (the standard embedding-quality probe
+    over a training-data corpus): vec_id < 20 is the eval set, the rest is
+    the labeled train set; prediction = majority label among the top-5
+    cosine neighbors, ties broken by smaller label. Same broadcast +
+    JVM-fold + WindowGroupLimit shape as q_knn_cosine — the train side
+    never shuffles; at scale the top-5 stage swaps to the IVF path."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
+    )
+    train = e.where(F.col("vec_id") >= 20)
+    pairs = train.join(F.broadcast(q), F.lit(True))
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("nrm") * F.col("qnrm"))
+    scored = pairs.select(
+        "query_id", "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"), cos.alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    votes = top.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("neighbor_label").cast("int").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("neighbor_label") == F.col("true_label")).alias("correct"),
+        )
+    )
