@@ -140,3 +140,21 @@ def test_run_corpus_export_end_to_end(spark, tmp_path):
     a = spark.read.parquet(f"{out}/shards").orderBy("doc_id").collect()
     b = spark.read.parquet(f"{out2}/shards").orderBy("doc_id").collect()
     assert a == b
+
+
+def test_run_corpus_export_handles_null_text(spark, tmp_path):
+    """A NULL-text doc encodes to zero tokens and must not shift later
+    documents' global offsets (the pack_sequences null contract)."""
+    from tsdat_spark.pipeline import run_corpus_export
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, None), (3, "cc dd ee")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "export_null")
+    m = run_corpus_export(spark, docs, out, n_merges=2, seq_len=4, shards=1)
+    rows = {r["doc_id"]: r for r in
+            spark.read.parquet(f"{out}/shards").collect()}
+    assert rows[2]["n_bpe"] == 0
+    assert rows[2]["start_offset"] == rows[1]["n_bpe"]
+    assert rows[3]["start_offset"] == rows[1]["n_bpe"]  # null doc adds 0
+    assert m["n_docs"] == 3

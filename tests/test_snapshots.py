@@ -302,3 +302,52 @@ def test_history_dedup_sink_bootstrap_from_existing_table(spark, tmp_path):
                               "doc_id long, text string"), 1
     )
     assert {r["doc_id"] for r in tbl.read(spark).collect()} == {1, 3}
+
+
+def test_stream_sink_guard_is_scoped_per_stream_id(spark, tmp_path):
+    """Batch ids restart at 0 when a stream gets a NEW checkpoint; the
+    replay guard must not swallow the new stream's first batches."""
+    from tsdat_spark.streaming import snapshot_sink
+
+    tbl = SnapshotTable(str(tmp_path / "tbl"))
+    assert snapshot_sink(tbl, _df(spark, 0, 3), 0, stream_id="ckpt-A") is True
+    assert snapshot_sink(tbl, _df(spark, 3, 6), 1, stream_id="ckpt-A") is True
+    # same stream replays -> skipped
+    assert snapshot_sink(tbl, _df(spark, 3, 6), 1, stream_id="ckpt-A") is False
+    # a DIFFERENT checkpoint (reprocessing) restarts at batch 0: must land
+    assert snapshot_sink(tbl, _df(spark, 6, 8), 0, stream_id="ckpt-B") is True
+    assert tbl.snapshot().n_rows_total == 8
+    # and its own replays are still caught
+    assert snapshot_sink(tbl, _df(spark, 6, 8), 0, stream_id="ckpt-B") is False
+    # ...while stream A continues from its own stamp
+    assert snapshot_sink(tbl, _df(spark, 8, 9), 2, stream_id="ckpt-A") is True
+    assert tbl.snapshot().n_rows_total == 9
+
+
+def test_legacy_snapshot_format_still_reads(spark, tmp_path):
+    """Tables written by the pre-delta-manifest layout (snapshot json
+    carries the FULL 'files' list inline) must stay readable."""
+    import json
+
+    tbl = SnapshotTable(str(tmp_path / "tbl"))
+    tbl.append(_df(spark, 0, 4))
+    sid = tbl.current_snapshot_id()
+    # rewrite the snapshot json in the legacy shape
+    snap = tbl.snapshot(sid)
+    legacy = {
+        "snapshot_id": snap.snapshot_id,
+        "parent_id": snap.parent_id,
+        "operation": snap.operation,
+        "timestamp": snap.timestamp,
+        "files": tbl.files(snap),
+        "added_files": snap.added_files,
+        "n_rows_added": snap.n_rows_added,
+        "n_rows_total": snap.n_rows_total,
+        "summary": snap.summary,
+    }
+    tbl.fs.write_text(tbl._snapshot_path(sid), json.dumps(legacy))
+    reread = SnapshotTable(str(tmp_path / "tbl"))
+    assert reread.read(spark).count() == 4
+    # appends on top of a legacy snapshot keep working (new format forward)
+    reread.append(_df(spark, 4, 6))
+    assert reread.read(spark).count() == 6

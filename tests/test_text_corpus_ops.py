@@ -303,3 +303,15 @@ def test_bm25_length_normalization_prefers_short_doc(spark):
         for r in bm25_top_terms(d, top_k=6).collect()
     }
     assert rows[(1, "x")] > rows[(2, "x")]
+
+
+def test_dsir_all_empty_corpus_scores_zero(spark):
+    from tsdat_spark.text.dsir import dsir_weights
+
+    d = spark.createDataFrame(
+        [(1, "en", None), (2, "fr", "")], "doc_id long, lang string, text string"
+    )
+    out = dsir_weights(d, is_target=F.col("lang") == "en").collect()
+    assert {(r["doc_id"], r["logw_micro"], r["selected"]) for r in out} == {
+        (1, 0, False), (2, 0, False)
+    }

@@ -112,7 +112,16 @@ class SnapshotTable:
         path = self._snapshot_path(sid)
         if not self.fs.exists(path):
             raise FileNotFoundError(f"{self.root}: snapshot {sid} not found")
-        return Snapshot(**json.loads(self.fs.read_text(path)))
+        d = json.loads(self.fs.read_text(path))
+        if "files" in d and "manifest_files" not in d:
+            # Migration: the pre-delta-manifest layout carried the FULL
+            # file list inline on the snapshot json. Adapt it so old
+            # tables stay readable; new commits write the current format.
+            legacy = d.pop("files")
+            snap = Snapshot(manifest_files=[], n_files_total=len(legacy), **d)
+            snap.legacy_files = legacy
+            return snap
+        return Snapshot(**d)
 
     def snapshots(self) -> list[Snapshot]:
         """Committed history, oldest first: the ancestry of the current
@@ -133,6 +142,9 @@ class SnapshotTable:
     def files(self, snapshot: Snapshot) -> list[str]:
         """Resolve a snapshot's full data-file list: the ordered union of
         its manifest files (<= ``compact_every`` + 1 small JSON reads)."""
+        legacy = getattr(snapshot, "legacy_files", None)
+        if legacy is not None:          # pre-delta-manifest layout
+            return list(legacy)
         out: list[str] = []
         for mpath in snapshot.manifest_files:
             out.extend(json.loads(self.fs.read_text(mpath))["files"])
@@ -194,6 +206,11 @@ class SnapshotTable:
         if parent is not None:
             p = self.snapshot(parent)
             parent_manifests = p.manifest_files
+            legacy = getattr(p, "legacy_files", None)
+            if legacy is not None:
+                # migrate a pre-delta-manifest parent: materialize its
+                # inline file list as this commit's base manifest
+                parent_manifests = [self._write_manifest(parent, legacy)]
             prev_rows, prev_nfiles = p.n_rows_total, p.n_files_total
         files, n = self._write_data(df, sid)
         if len(parent_manifests) + 1 > self.compact_every:

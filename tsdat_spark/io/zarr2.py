@@ -94,7 +94,11 @@ def _compress(raw: bytes, compressor: dict | None, typesize: int = 1) -> bytes:
     if cid == "zstd":
         from ..compress.zstd import zstd_compress
 
-        return zstd_compress(raw)  # store-mode frames (see compress/zstd.py)
+        # Entropy-coded frames (LZ77 + Huffman + FSE, compress/zstd.py):
+        # real compression at ~1-3 MB/s/task pure-Python cost. Writers
+        # needing guaranteed-linear speed over ratio can swap in
+        # zstd_compress_store (valid frames, ~store-size output).
+        return zstd_compress(raw)
     raise ValueError(f"unsupported zarr compressor {cid!r}")
 
 

@@ -455,7 +455,8 @@ def dedup_stream(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
 
 
-def snapshot_sink(table, batch_df: DataFrame, batch_id: int) -> bool:
+def snapshot_sink(table, batch_df: DataFrame, batch_id: int,
+                  stream_id: str | None = None) -> bool:
     """Idempotent foreachBatch sink body for snapshot tables.
 
     ``foreachBatch`` is at-least-once: if the process dies after the
@@ -464,8 +465,13 @@ def snapshot_sink(table, batch_df: DataFrame, batch_id: int) -> bool:
     summary stamps every streamed batch, so the guard is the standard
     Iceberg-style one: walk current-snapshot ancestry to the most recent
     STREAMED snapshot (skipping interleaved manual commits) and skip the
-    append when its ``stream_batch_id >= batch_id``. Batch ids within one
-    checkpoint are strictly increasing, so ``>=`` is exact.
+    append when its ``stream_batch_id >= batch_id``. Batch ids are
+    strictly increasing only WITHIN one checkpoint — a new checkpoint
+    (reprocessing, moved dir, second source) restarts them at 0 — so pass
+    ``stream_id`` (e.g. the checkpoint path) to scope the guard: stamps
+    from other streams are walked past, never compared. Without a
+    ``stream_id`` the guard compares against ANY streamed ancestor (the
+    single-stream contract).
 
     Returns True when the batch was appended, False when skipped as a
     replay.
@@ -477,12 +483,17 @@ def snapshot_sink(table, batch_df: DataFrame, batch_id: int) -> bool:
         except FileNotFoundError:      # expired tail — no streamed ancestor
             break
         prev = s.summary.get("stream_batch_id")
-        if prev is not None:
+        if prev is not None and (
+            stream_id is None or s.summary.get("stream_id") == stream_id
+        ):
             if int(prev) >= batch_id:
                 return False
             break
         sid = s.parent_id
-    table.append(batch_df, summary={"stream_batch_id": batch_id})
+    summary = {"stream_batch_id": batch_id}
+    if stream_id is not None:
+        summary["stream_id"] = stream_id
+    table.append(batch_df, summary=summary)
     return True
 
 
@@ -509,7 +520,9 @@ def stream_append_snapshots(
     stream = spark.readStream.schema(source_schema).parquet(source_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        snapshot_sink(table, batch_df, batch_id)
+        # stream_id = the checkpoint path: batch ids are only monotonic
+        # within one checkpoint, so the replay guard must be scoped to it.
+        snapshot_sink(table, batch_df, batch_id, stream_id=checkpoint_path)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_path
@@ -525,6 +538,7 @@ def history_dedup_sink(
     order_col: str = "doc_id",
     n_bits: int = 1 << 20,
     n_hashes: int = 5,
+    stream_id: str | None = None,
 ):
     """foreachBatch sink: dedup each micro-batch against ALL history.
 
@@ -602,12 +616,19 @@ def history_dedup_sink(
         else:
             confirmed = candidates
         new_rows = definite_new.unionByName(confirmed)
-        appended = snapshot_sink(table, new_rows, batch_id)
+        appended = snapshot_sink(table, new_rows, batch_id,
+                                 stream_id=stream_id)
         if appended:
-            state["bloom"] |= np.frombuffer(
-                build_bloom(new_rows, _key(new_rows),
-                            n_bits=n_bits, n_hashes=n_hashes),
-                dtype=np.uint8,
-            )
+            # Rebuild the increment from the files the commit just wrote —
+            # O(batch) read-back — instead of re-executing the dedup plan
+            # (probe + anti-join + window) a second time.
+            added = table.snapshot().added_files
+            if added:
+                committed = spark.read.parquet(*added)
+                state["bloom"] |= np.frombuffer(
+                    build_bloom(committed, _key(committed),
+                                n_bits=n_bits, n_hashes=n_hashes),
+                    dtype=np.uint8,
+                )
 
     return sink

@@ -226,7 +226,9 @@ def encode_bpe(
 
         def enc_text(t: str) -> list[str]:
             out: list[str] = []
-            for w in t.split():
+            # NULL text encodes to an empty token list (same contract as
+            # ws_token_count: a null doc must not shift later offsets).
+            for w in (t.split() if isinstance(t, str) else []):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)

@@ -72,9 +72,11 @@ def dsir_weights(
         )
         .localCheckpoint()
     )
-    t_r, t_t, v = vocab.agg(
+    totals = vocab.agg(
         F.sum("c_r"), F.sum("c_t"), F.count(F.lit(1))
     ).first()
+    # SUM over an empty vocab is NULL (all-empty corpus): score everything 0.
+    t_r, t_t, v = (int(x or 0) for x in totals)
     ratio = vocab.select(
         "term",
         F.round(
