@@ -351,3 +351,57 @@ def test_legacy_snapshot_format_still_reads(spark, tmp_path):
     # appends on top of a legacy snapshot keep working (new format forward)
     reread.append(_df(spark, 4, 6))
     assert reread.read(spark).count() == 6
+
+
+def _legacyize(tbl, sid):
+    """Rewrite snapshot sid's json in the pre-delta-manifest layout."""
+    import json
+
+    snap = tbl.snapshot(sid)
+    legacy = {
+        "snapshot_id": snap.snapshot_id,
+        "parent_id": snap.parent_id,
+        "operation": snap.operation,
+        "timestamp": snap.timestamp,
+        "files": tbl.files(snap),
+        "added_files": snap.added_files,
+        "n_rows_added": snap.n_rows_added,
+        "n_rows_total": snap.n_rows_total,
+        "summary": snap.summary,
+    }
+    tbl.fs.write_text(tbl._snapshot_path(sid), json.dumps(legacy))
+
+
+def test_rollback_to_legacy_snapshot_keeps_files(spark, tmp_path):
+    """Rolling back to a pre-delta-manifest snapshot must materialize its
+    inline file list — an empty-manifest rollback would read as an empty
+    table and let expire() collect still-referenced data."""
+    tbl = SnapshotTable(str(tmp_path / "tbl"))
+    tbl.append(_df(spark, 0, 4))
+    sid1 = tbl.current_snapshot_id()
+    tbl.append(_df(spark, 4, 7))
+    _legacyize(tbl, sid1)
+
+    reread = SnapshotTable(str(tmp_path / "tbl"))
+    reread.rollback(sid1)
+    assert reread.read(spark).count() == 4
+    # expire must keep the legacy snapshot's data alive
+    reread.expire(keep_last=1)
+    assert reread.read(spark).count() == 4
+
+
+def test_stream_guard_honors_unscoped_legacy_stamps(spark, tmp_path):
+    """A stamp written before stream_id scoping existed has no stream_id;
+    the scoped guard must still treat it as a replay of the SAME stream
+    (the upgrade scenario: crash-landed commit, checkpoint replays)."""
+    from tsdat_spark.streaming import snapshot_sink
+
+    tbl = SnapshotTable(str(tmp_path / "tbl"))
+    # old-code stamp: no stream_id in the summary
+    tbl.append(_df(spark, 0, 3), summary={"stream_batch_id": 7})
+    # upgraded sink replays the crash-window batch with scoping on
+    assert snapshot_sink(tbl, _df(spark, 0, 3), 7, stream_id="ckpt") is False
+    assert tbl.snapshot().n_rows_total == 3
+    # and the next batch proceeds, now stamped with the stream id
+    assert snapshot_sink(tbl, _df(spark, 3, 5), 8, stream_id="ckpt") is True
+    assert tbl.snapshot().summary["stream_id"] == "ckpt"

@@ -288,8 +288,10 @@ def test_bm25_matches_manual_formula(spark):
     assert (r["tf"], r["df_docs"], r["dl"]) == (2, 1, 3)
     assert r["score_q"] == score_q(2, 1, 3)
     assert r["rank"] == 1
-    # rarer term with equal tf outranks the common one
-    assert rows[(2, "cherry")]["score_q"] < rows[(2, "banana")]["score_q"] or True
+    # banana and cherry tie exactly in doc 2 (tf=1, df=2 for both):
+    # equal scores, rank decided by the term-ASC tie-break
+    assert rows[(2, "banana")]["score_q"] == rows[(2, "cherry")]["score_q"]
+    assert rows[(2, "banana")]["rank"] < rows[(2, "cherry")]["rank"]
     assert rows[(3, "cherry")]["score_q"] == score_q(3, 2, 4)
 
 

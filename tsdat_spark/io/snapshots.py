@@ -247,11 +247,19 @@ class SnapshotTable:
         — same contract as Iceberg rollback; zero manifest writes)."""
         target = self.snapshot(snapshot_id)
         sid = self._next_id()
+        manifests = list(target.manifest_files)
+        legacy = getattr(target, "legacy_files", None)
+        if legacy is not None:
+            # migrate a pre-delta-manifest target (same as append): its
+            # file list lives inline, not in manifests — materialize it,
+            # else the rollback snapshot would resolve to zero files and
+            # expire() could collect still-referenced data.
+            manifests = [self._write_manifest(target.snapshot_id, legacy)]
         return self._commit(Snapshot(
             snapshot_id=sid, parent_id=self.current_snapshot_id(),
             operation="rollback",
             timestamp=timestamp if timestamp is not None else time.time(),
-            manifest_files=list(target.manifest_files), added_files=[],
+            manifest_files=manifests, added_files=[],
             n_rows_added=0, n_rows_total=target.n_rows_total,
             n_files_total=target.n_files_total,
             summary={"rolled_back_to": snapshot_id}))

@@ -483,8 +483,13 @@ def snapshot_sink(table, batch_df: DataFrame, batch_id: int,
         except FileNotFoundError:      # expired tail — no streamed ancestor
             break
         prev = s.summary.get("stream_batch_id")
+        # A stamp WITHOUT a stream_id predates the scoping (single-stream
+        # era): treat it as ours, else upgraded tables lose replay
+        # protection for exactly the crash window the guard closes.
+        stamp_stream = s.summary.get("stream_id")
         if prev is not None and (
-            stream_id is None or s.summary.get("stream_id") == stream_id
+            stream_id is None or stamp_stream is None
+            or stamp_stream == stream_id
         ):
             if int(prev) >= batch_id:
                 return False

@@ -7,15 +7,17 @@ quoted passages recur inside otherwise-unique pages. Their reference
 implementation builds a corpus-wide suffix array; that is a single-machine
 construction. This module re-expresses the detection phase Spark-first:
 
-1. **Per-doc k-gram hashing, map-side.** Each document folds its token
-   array into an array of ``xxhash64`` values of its k-token windows via
-   ``transform(sequence(...), i -> xxhash64(concat_ws(slice(...))))`` —
-   no explode, no shuffle, linear in tokens.
-2. **Corpus-wide duplicate k-grams.** ``posexplode`` the hash arrays and
-   ``groupBy(hash)`` with a count: one exchange keyed by a uniform 64-bit
-   hash, map-side partial aggregation collapsing repeats before the wire.
-   A k-gram is *duplicated* when its corpus-wide occurrence count is
-   ``>= min_count`` (2 by default — same criterion Lee et al. use for the
+1. **Row-wise k-gram hashing under whole-stage codegen.** Explode a
+   per-doc position ``sequence(0, n-k)`` and hash each k-token window
+   row-wise — ``xxhash64(concat_ws(slice(tokens, pos+1, k)))`` — all
+   plain (non-lambda) expressions, linear in tokens
+   (:func:`_exploded_grams`; the earlier HOF-array form survives as
+   :func:`kgram_hashes` with its measured 3.7× explode penalty named).
+2. **Corpus-wide duplicate k-grams.** ``groupBy(hash)`` with a count:
+   one exchange keyed by a uniform 64-bit hash, map-side partial
+   aggregation collapsing repeats before the wire. A k-gram is
+   *duplicated* when its corpus-wide occurrence count is ``>= min_count``
+   (2 by default — same criterion Lee et al. use for the
    length-thresholded substrings).
 3. **Join back + span merge.** Duplicated positions rejoin the exploded
    k-grams on the same hash key (AQE reuses the exchange or broadcasts the

@@ -101,7 +101,13 @@ def bm25_top_terms(
     n_docs = df.count()
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     words = df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("term"))
-    tf = words.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # localCheckpoint: the avgdl pre-pass below must execute the
+    # tokenize→explode→tf chain eagerly; without it the final plan would
+    # recompute the same dominant aggregation a second time (same pattern
+    # as dsir_weights' vocab checkpoint).
+    tf = words.groupBy("__id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint()
     dl = tf.groupBy("__id").agg(F.sum("tf").alias("dl"))
     totals = dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
     avgdl = float(totals[0]) / float(totals[1]) if totals[1] else 1.0
