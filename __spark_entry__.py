@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": Q.q_dsir_weights,
         "bm25_top_terms": Q.q_bm25_top_terms,
         "knn_classify": Q.q_knn_classify,
+        "normalize_text": Q.q_normalize_text,
     }
 
 

@@ -91,7 +91,7 @@ def main() -> None:
         # tf-idf keywords, DSIR importance weights
         "substring_dedup", "substring_scrub", "bloom_dedup",
         "tfidf_top_terms", "dsir_weights", "bm25_top_terms",
-        "knn_classify",
+        "knn_classify", "normalize_text",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
@@ -195,7 +195,8 @@ def main() -> None:
                "pack_sequences", "bpe_train")
     _r6_new = ("zstd_codec", "lm_perplexity", "substring_dedup",
                "substring_scrub", "bloom_dedup", "tfidf_top_terms",
-               "dsir_weights", "bm25_top_terms", "knn_classify")
+               "dsir_weights", "bm25_top_terms", "knn_classify",
+               "normalize_text")
     extra["suite_r02_comparable_sec"] = round(
         sum(v for k, v in timings.items()
             if k not in _r3_new + _r4_new + _r5_new + _r6_new), 3

@@ -317,3 +317,23 @@ def test_dsir_all_empty_corpus_scores_zero(spark):
     assert {(r["doc_id"], r["logw_micro"], r["selected"]) for r in out} == {
         (1, 0, False), (2, 0, False)
     }
+
+
+def test_normalize_text_edges(spark):
+    import tempfile, os
+    import pandas as pd
+
+    from tsdat_spark.queries import q_normalize_text
+
+    tmp = tempfile.mkdtemp()
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4],
+         "text": ["Hello,  WORLD! 42", None, "!!!", "  a   b  "],
+         "lang": ["en"] * 4, "source": ["s"] * 4, "n_chars": [0] * 4}
+    ).to_parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r["doc_id"]: r for r in q_normalize_text(spark, tmp).collect()}
+    assert out[1]["text_norm"] == "hello world 42"
+    assert out[1]["n_tokens_norm"] == 3
+    assert out[2]["text_norm"] == "" and out[2]["n_tokens_norm"] == 0
+    assert out[3]["text_norm"] == "" and out[3]["n_chars_norm"] == 0
+    assert out[4]["text_norm"] == "a b" and out[4]["n_tokens_norm"] == 2

@@ -1243,3 +1243,21 @@ SELECT query_id, CAST(true_label AS INT) AS true_label,
        neighbor_label = true_label AS correct
 FROM win WHERE vr = 1
 """
+
+# C4-style normalization: plain ASCII character classes so Java and
+# DuckDB regex engines agree; DuckDB needs the 'g' flag for global
+# replace (Spark replaces all occurrences by default).
+ORACLES["normalize_text"] = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text_norm
+  FROM documents
+)
+SELECT doc_id, text_norm,
+       CASE WHEN text_norm = '' THEN 0
+            ELSE CAST(len(string_split(text_norm, ' ')) AS BIGINT)
+       END AS n_tokens_norm,
+       CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+FROM n
+"""

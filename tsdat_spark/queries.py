@@ -1110,3 +1110,28 @@ def q_knn_classify(spark, sf_dir):
             (F.col("neighbor_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+def q_normalize_text(spark, sf_dir):
+    """C4-style text normalization (Raffel et al. 2020 preprocessing):
+    lowercase, strip non-alphanumerics, collapse whitespace — one
+    codegen'd map, zero shuffle (NULL text normalizes to ''). The regexes
+    are ASCII character classes chosen to mean the same thing in Java
+    (Spark) and RE2-ish (DuckDB) engines."""
+    d = _documents(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.coalesce("text", F.lit(""))),
+                             "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_tokens_norm"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
