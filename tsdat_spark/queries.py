@@ -252,25 +252,45 @@ def q_qc_mask_threshold(spark, sf_dir):
 
 
 def q_gap_fill_1h(spark, sf_dir):
-    """Per-conv hourly grid between first and last turn, left-joined with
-    counts; gap hours appear with n_turns=0, is_gap=1 (tsdat CreateTimeGrid
-    + missing-bin semantics, SURVEY §2.4)."""
+    """Per-conv hourly grid between first and last turn; gap hours appear
+    with n_turns=0, is_gap=1 (tsdat CreateTimeGrid + missing-bin semantics,
+    SURVEY §2.4).
+
+    Round-7 shape (guide §2.4): the grid [trunc(min ts), trunc(max ts)] is
+    exactly the union of each non-empty bin plus the empty bins strictly
+    between consecutive non-empty bins, so ONE count aggregation + one
+    small window over the per-bin rows (lag + sequence-explode of the gap
+    hours) replaces the old second full scan (span min/max), the grid
+    explode, and the 3-way-shuffled left join — plan drops from two scans +
+    3 exchanges + join to one scan + 2 exchanges (the second over
+    bin-grain rows, orders of magnitude smaller than turns)."""
     t = transcripts(spark, sf_dir)
     agg = t.groupBy("conv_id", F.date_trunc("hour", "ts").alias("bin_start")).agg(
         F.count(F.lit(1)).alias("n")
+    ).where(F.col("bin_start").isNotNull())
+    w = W.partitionBy("conv_id").orderBy("bin_start")
+    agg = agg.withColumn("__prev", F.lag("bin_start").over(w))
+    prev = F.col("__prev")
+    hour = F.expr("INTERVAL 1 HOUR")
+    gaps = F.when(
+        prev.isNull() | (F.col("bin_start") <= prev + hour),
+        F.array().cast("array<timestamp>"),
+    ).otherwise(F.sequence(prev + hour, F.col("bin_start") - hour, hour))
+    rows = F.concat(
+        F.transform(
+            gaps,
+            lambda g: F.struct(
+                g.alias("bin_start"), F.lit(0).cast("long").alias("n_turns"),
+                F.lit(1).alias("is_gap"),
+            ),
+        ),
+        F.array(F.struct(
+            F.col("bin_start"), F.col("n").alias("n_turns"), F.lit(0).alias("is_gap"),
+        )),
     )
-    span = t.groupBy("conv_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"), F.date_trunc("hour", F.max("ts")).alias("hi")
-    )
-    grid = span.select(
-        "conv_id",
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bin_start"),
-    )
-    out = grid.join(agg, ["conv_id", "bin_start"], "left")
-    return out.select(
-        "conv_id", "bin_start",
-        F.coalesce(F.col("n"), F.lit(0)).alias("n_turns"),
-        F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+    return agg.select("conv_id", F.explode(rows).alias("r")).select(
+        "conv_id", F.col("r.bin_start").alias("bin_start"),
+        F.col("r.n_turns").alias("n_turns"), F.col("r.is_gap").alias("is_gap"),
     )
 
 

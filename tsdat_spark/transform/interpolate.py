@@ -16,13 +16,22 @@ and ``_interpolate_single_point.py:1-34``:
 - value = y1 + (y2−y1)/(x2−x1)·(t−x1) (same line extended for
   extrapolation).
 
-Spark-first formulation (join-free, round 3): the two nearest candidates
+Spark-first formulation (round 7, guide §2.4): the two nearest candidates
 are always among the {2 before-or-at, 2 after} data samples around the
-label, and both pairs ride to every label row on running ``last(...,
-ignorenulls)`` windows over the data∪labels union — forward for the
-before-pair (each data row carries its own struct + its lag), backward for
-the after-pair (struct + lead). No interval join, no explode, no
-aggregation; see ``interpolate_linear`` for the plan accounting.
+label, i.e. among {lag, cur, lead, lead²} of the data row that is the
+label's at-or-before sample — and the grid is REGULAR, so that ownership
+is closed-form (``covered_label_range``: row at t with successor t' owns
+labels ``k ∈ [⌈(t−g0)/iv⌉, ⌈(t'−g0)/iv⌉−1]``; the first row also owns the
+prefix labels with an empty before-pair). ONE window pass over the data
+(the same sort already needed for the diff-width input bounds) carries
+lag/lead/lead² sample structs; a pure-arithmetic sequence-explode then
+emits every label row with all four bracketing candidates attached.
+Candidacy filtering, two-nearest selection, and the interpolation math
+are pure column expressions over a 4-element array, unchanged from the
+round-3 form. The union form this replaces paid the data window PLUS one
+exchange and TWO full sorts of the data∪grid union and a
+``series.distinct()`` aggregation; this is 1 exchange + 1 sort of the
+data alone (plans/r07/interpolate_1h_*).
 """
 
 from __future__ import annotations
@@ -31,7 +40,8 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .bin_average import QC_BAD, QC_EXTRAPOLATE, QC_OUTSIDE_RANGE, _input_bounds_us
-from .grid import GridSpec, grid_dataframe
+from .grid import GridSpec
+from .nearest import covered_label_range
 
 
 def interpolate_linear(
@@ -45,26 +55,15 @@ def interpolate_linear(
     """Interpolate ``value_cols`` onto grid labels (see module docstring).
 
     ``range_s``: half-width of the candidate window around each label.
-
-    Join-free formulation (round 3): the two nearest candidates are always
-    among {2 before-or-at, 2 after} the label, so each DATA row carries its
-    own sample struct plus its lag (for the forward pass) and its lead (for
-    the backward pass); running ``last(..., ignorenulls)`` over the
-    data∪labels union — forward for (b1, b2), backward for (a1, a2) —
-    delivers all four bracketing candidates straight onto each label row.
-    Candidacy filtering, two-nearest selection, and the interpolation math
-    are then pure column expressions over a 4-element array. Plan: one
-    window over data + two window passes over the union on the SAME
-    partitioning — no explode, no equi-join, no aggregation, no
-    grid-completion join (the union already contains every label row).
-    The previous rank-explode(4)+join+groupBy shape paid ~5 exchanges for
-    the same result.
     """
-    spark = df.sparkSession
     range_us = range_s * 1_000_000.0
+    g0, iv = grid.start_us, grid.interval_us
 
-    wo = W.partitionBy(*series_keys).orderBy("__pos")
-    data = _input_bounds_us(df, series_keys, ts_col, grid.interval_us)
+    # both window layers use the SAME (series, ts) spec as _input_bounds_us,
+    # so the planner satisfies the second Window's ordering from the first —
+    # one exchange, one physical sort
+    wo = W.partitionBy(*series_keys).orderBy(ts_col)
+    data = _input_bounds_us(df.where(F.col(ts_col).isNotNull()), series_keys, ts_col, grid.interval_us)
     cstruct = F.struct(
         ((F.col("__in_start") + F.col("__in_end")) / 2.0).alias("x"),
         F.col("__in_start").alias("s"),
@@ -72,37 +71,35 @@ def interpolate_linear(
         *[F.col(v).cast("double").alias(v) for v in value_cols],
     )
     data = (
-        data.select(*series_keys, F.col("__ts_us").alias("__pos"), cstruct.alias("__c"))
-        .withColumn("__fwd", F.struct(F.col("__c").alias("c"), F.lag("__c").over(wo).alias("p")))
-        .withColumn("__bwd", F.struct(F.col("__c").alias("c"), F.lead("__c").over(wo).alias("n")))
-        .select(*series_keys, "__pos", F.lit(0).alias("__is_grid"),
-                F.lit(None).cast("long").alias("bin_idx"), "__fwd", "__bwd")
+        data.select(*series_keys, ts_col, F.col("__ts_us").alias("__pos"), cstruct.alias("__c"))
+        .withColumn("__b2", F.lag("__c").over(wo))
+        .withColumn("__a1", F.lead("__c").over(wo))
+        .withColumn("__a2", F.lead("__c", 2).over(wo))
+        .withColumn("__npos", F.lead("__pos").over(wo))
+        .withColumn("__first", F.row_number().over(wo) == 1)
+        .drop(ts_col)
     )
-
-    series = df.select(*series_keys).distinct()
-    labels = series.crossJoin(F.broadcast(grid_dataframe(spark, grid))).select(
-        *series_keys, "bin_idx",
-        F.unix_micros(F.col("label")).cast("double").alias("__pos"),
-        F.lit(1).alias("__is_grid"),
+    k_lo, k_hi = covered_label_range(
+        F.col("__pos").cast("long"), F.col("__npos").cast("long"), F.col("__first"), grid
     )
-    u = data.unionByName(labels, allowMissingColumns=True)
-
-    # forward: last data row AT-OR-BEFORE the label (data sorts before the
-    # label at equal __pos) + its lag; backward: first data row STRICTLY
-    # AFTER (desc __is_grid puts the label first at equal __pos, excluding
-    # the tied data row already counted by the forward pass) + its lead.
-    wf = W.partitionBy(*series_keys).orderBy("__pos", "__is_grid").rowsBetween(W.unboundedPreceding, 0)
-    wb = W.partitionBy(*series_keys).orderBy(F.col("__pos").desc(), F.col("__is_grid").desc()).rowsBetween(W.unboundedPreceding, 0)
-    lab = (
-        u.withColumn("__b", F.last("__fwd", ignorenulls=True).over(wf))
-        .withColumn("__a", F.last("__bwd", ignorenulls=True).over(wb))
-        .where(F.col("__is_grid") == 1)
+    ks = F.when(k_lo <= k_hi, F.sequence(k_lo, k_hi)).otherwise(
+        F.array().cast("array<long>")
     )
+    lab = data.select(
+        *series_keys, "__pos", "__c", "__b2", "__a1", "__a2", F.explode(ks).alias("__k")
+    )
+    t = (F.lit(g0) + F.col("__k") * F.lit(iv)).cast("double")
+    # prefix labels (before the first sample): before-pair empty, after-pair
+    # = (cur, lead); owned labels: before-pair = (lag, cur), after = (lead, lead²)
+    before_row = t < F.col("__pos")
+    c1p = F.when(before_row, F.lit(None).cast(data.schema["__c"].dataType)).otherwise(F.col("__b2"))
+    c2p = F.when(before_row, F.lit(None).cast(data.schema["__c"].dataType)).otherwise(F.col("__c"))
+    c3p = F.when(before_row, F.col("__c")).otherwise(F.col("__a1"))
+    c4p = F.when(before_row, F.col("__a1")).otherwise(F.col("__a2"))
 
-    t = F.col("__pos")
     # candidacy: input bin overlaps [label - range, label + range)
     cands = F.filter(
-        F.array(F.col("__b.p"), F.col("__b.c"), F.col("__a.c"), F.col("__a.n")),
+        F.array(c1p, c2p, c3p, c4p),
         lambda c: c.isNotNull() & (c["e"] > t - F.lit(range_us)) & (c["s"] < t + F.lit(range_us)),
     )
 
@@ -113,7 +110,8 @@ def interpolate_linear(
         )
 
     near = F.slice(F.array_sort(F.transform(cands, _rank_struct)), 1, 2)
-    lab = lab.withColumn("__near", near)
+    lab = lab.select(*series_keys, t.alias("__t"), near.alias("__near"))
+    t = F.col("__t")
 
     c1 = F.element_at(F.col("__near"), 1)
     c2 = F.element_at(F.col("__near"), 2)
