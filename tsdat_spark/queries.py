@@ -74,7 +74,15 @@ def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric measurement for QC demos, latency_us, token_len).
     """
     ev = _events(spark, sf_dir)
+    # ONE window: conv_id is a bijection of user_id and turn_idx order IS
+    # (ts, event_id) order, so the latency lag partitioned by the derived
+    # conv_id / ordered by the derived turn_idx is identical to a lag over
+    # this same (user_id; ts, event_id) window — expressing both window
+    # functions on one spec halves the plan to a single exchange + sort
+    # for every consumer that needs turn_idx AND latency_us (round 7,
+    # guide §2.4: two operations keyed the same way share one exchange).
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cur = F.unix_micros(F.col("ts"))
     t = ev.select(
         F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
@@ -89,10 +97,8 @@ def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tool"),
         F.col("ts"),
         F.col("value").cast("double").alias("value"),
+        (cur - F.lag(cur).over(w)).alias("latency_us"),
     )
-    wc = W.partitionBy("conv_id").orderBy("turn_idx")
-    cur = F.unix_micros(F.col("ts"))
-    t = t.withColumn("latency_us", cur - F.lag(cur).over(wc))
     tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast("long")
     t = t.withColumn("token_len", F.when(F.col("text").isNull(), F.lit(None).cast("long")).otherwise(tokens))
     return t
