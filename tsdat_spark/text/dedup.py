@@ -212,6 +212,12 @@ def lsh_candidate_pairs(
     One explode (bands per doc) + one self-equi-join on the band key —
     shuffle size O(docs·bands), never O(docs²)."""
     rows = k // bands
+    # materialize the signature columns first (round 7): the band explode's
+    # inferred size()>0 filter and the band-key equi-join otherwise push
+    # predicates below the projection chain, inlining the whole
+    # minhash pipeline (tokenize + per-token hash + k folds) into re-
+    # evaluated filter expressions on BOTH join sides
+    sig_df = sig_df.select(id_col, *[f"mh{i}" for i in range(k)]).localCheckpoint(eager=False)
     band_structs = F.array(*[
         F.struct(
             F.lit(j).alias("band"),

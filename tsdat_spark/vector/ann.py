@@ -269,6 +269,11 @@ def ivf_search(
     cells = e.withColumn(
         "centroid_id", ivf_assign_expr(F.col(vec_col), F.col("__nrm"), centroids)["centroid_id"]
     )
+    # materialization barrier (round 7): the candidate join otherwise infers
+    # an isnotnull(centroid_id) filter below this projection whose pushed
+    # form INLINES the whole n_cells-fold assignment expression — every row
+    # paid the assignment twice (4.9 s -> 1.1 s warm at sf1.0, 20k vectors)
+    cells = cells.localCheckpoint(eager=False)
 
     q = queries_df.select(
         F.col(query_id_col), F.col(query_vec_col), _norm(F.col(query_vec_col)).alias("__qnrm")
@@ -336,6 +341,10 @@ def ann_lsh_pairs(
         F.col(id_col), F.col(vec_col), norm.alias("nrm"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
+    # barrier: the self-join consumes b twice and infers isnotnull(bucket)
+    # filters that inline the n_planes-fold bucket expression — without it
+    # every row pays the fold up to 4x (round 7, same fix as ivf_search)
+    b = b.localCheckpoint(eager=False)
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(r, "bucket").where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     dot = F.aggregate(
@@ -392,6 +401,9 @@ def ann_lsh_pairs_multi(
         F.explode(tables).alias("tb"),
     ).select(id_col, vec_col, "nrm", F.col("tb.table_id").alias("table_id"),
              F.col("tb.bucket").alias("bucket"))
+    # barrier: same dual-consumption + inferred-filter inlining as
+    # ann_lsh_pairs, with T tables of plane folds at stake
+    b = b.localCheckpoint(eager=False)
     l, r = b.alias("l"), b.alias("r")
     cand = (
         l.join(r, ["table_id", "bucket"])
