@@ -240,3 +240,85 @@ def _compress(means: np.ndarray, weights: np.ndarray, compression: float):
     w_sum = np.add.reduceat(weights, starts)
     m_sum = np.add.reduceat(weights * means, starts)
     return m_sum / w_sum, w_sum
+
+_EMPTY_ONES_CACHE: dict[int, bytes] = {}
+
+
+def _ones_bytes(n: int) -> bytes:
+    b = _EMPTY_ONES_CACHE.get(n)
+    if b is None:
+        b = np.ones(n, dtype="<f8").tobytes()
+        if len(_EMPTY_ONES_CACHE) < 4096:
+            _EMPTY_ONES_CACHE[n] = b
+    return b
+
+
+def batch_digests_from_sorted(arrs, compression: float = 100.0,
+                              qs: tuple[float, ...] = (0.5, 0.95)):
+    """Blobs + quantiles for a BATCH of already-sorted nan-free value
+    arrays (round 7 tier hot path: group count ~ row count, so per-group
+    Python must be minimal). The unit-weight case (n <= 4*compression —
+    every group at fine tier grain) is vectorized across the whole batch:
+    one flat concatenation + closed-form index arithmetic replaces a
+    per-group ``_quantiles_from_centroids`` call, reproducing its float
+    expressions term for term (cum_i = i+0.5 exactly, span = 1.0 exactly,
+    ceil(target-0.5) == searchsorted for target >= 0.5). Oversized groups
+    fall back to the scalar compress path.
+
+    Returns (blobs list[bytes], per-q list of float64 arrays).
+    """
+    N = len(arrs)
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=N)
+    limit = 4 * compression
+    out_q = [np.full(N, np.nan) for _ in qs]
+    blobs: list[bytes] = [b""] * N
+    empty_blob = _HEADER.pack(_MAGIC, compression, np.inf, -np.inf, 0)
+
+    big = lens > limit
+    for i in np.flatnonzero(big):
+        v = arrs[i]
+        b = fast_bytes_from_sorted(v, compression)
+        blobs[i] = b
+        m, w, mn, mx = _parse(b)
+        for j, q in enumerate(_quantiles_from_centroids(m, w, mn, mx, qs)):
+            out_q[j][i] = q
+
+    small = np.flatnonzero(~big)
+    for i in small:
+        n = lens[i]
+        if n == 0:
+            blobs[i] = empty_blob
+        else:
+            v = arrs[i]
+            vb = v.tobytes() if v.dtype == np.dtype("<f8") else v.astype("<f8").tobytes()
+            blobs[i] = _HEADER.pack(_MAGIC, compression, v[0], v[n - 1], n) + vb + _ones_bytes(n)
+
+    # vectorized unit-weight quantiles over the small groups with n >= 2
+    sel = small[lens[small] >= 2]
+    if sel.size:
+        vs = [arrs[i] for i in sel]
+        flat = np.concatenate(vs)
+        ln = lens[sel].astype(np.float64)
+        off = np.concatenate([[0], np.cumsum(lens[sel])[:-1]])
+        first = flat[off]
+        last = flat[off + lens[sel] - 1]
+        for j, q in enumerate(qs):
+            target = q * ln
+            # middle branch (0.5 < target < n-0.5): idx = ceil(target-0.5)-1
+            idx = np.ceil(target - 0.5).astype(np.int64) - 1
+            idx_c = np.clip(idx, 0, lens[sel] - 2)
+            frac = target - (idx_c + 0.5)
+            est = (1.0 - frac) * flat[off + idx_c] + frac * flat[off + idx_c + 1]
+            # low branch: target <= cum[0] = 0.5
+            frac_lo = target / 0.5
+            est = np.where(target <= 0.5, (1.0 - frac_lo) * first + frac_lo * first, est)
+            # high branch: target >= cum[-1] = n-0.5 (denom = 0.5 exactly)
+            frac_hi = (target - (ln - 0.5)) / 0.5
+            est = np.where(target >= ln - 0.5, (1.0 - frac_hi) * last + frac_hi * last, est)
+            out_q[j][sel] = np.minimum(np.maximum(est, first), last)
+    ones = small[lens[small] == 1]
+    if ones.size:
+        v1 = np.fromiter((arrs[i][0] for i in ones), dtype=np.float64, count=ones.size)
+        for j in range(len(qs)):
+            out_q[j][ones] = v1
+    return blobs, out_q

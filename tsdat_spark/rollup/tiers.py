@@ -48,20 +48,24 @@ TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
 
 
 def _group_slices(pdf: pd.DataFrame, keys: list[str]):
-    """Sort by keys and return (sorted pdf, group start idx, group end idx).
+    """Sort so equal keys are adjacent; return (sorted pdf, group start
+    idx, group end idx).
 
-    Pure vectorized boundary detection (null-safe adjacent-row compare) —
-    no pandas GroupBy iteration, which costs ~100µs per group and dominates
-    everything at tier grain where #groups ≈ #rows."""
-    pdf = pdf.sort_values(keys, kind="stable", na_position="last", ignore_index=True)
+    Round 7: keys are factorized to int codes and ordered with one
+    ``np.lexsort`` — grouping only needs equal keys adjacent, not
+    lexicographic order, and an int lexsort beats ``sort_values`` over
+    object (string) columns by ~5-10x at tier-partition sizes. Nulls/NaT
+    factorize to one shared -1 code, preserving the old null==null
+    grouping. Boundaries come from the codes (factorize is exact), not a
+    per-column value compare."""
     n = len(pdf)
+    codes = [pd.factorize(pdf[k], use_na_sentinel=True)[0] for k in keys]
+    order = np.lexsort(tuple(reversed(codes)))
+    pdf = pdf.iloc[order].reset_index(drop=True)
     change = np.zeros(n - 1, dtype=bool)
-    for k in keys:
-        s = pdf[k]
-        neq = s.iloc[1:].reset_index(drop=True).ne(s.iloc[:-1].reset_index(drop=True))
-        both_na = s.isna().to_numpy()
-        neq = neq.to_numpy() & ~(both_na[1:] & both_na[:-1])
-        change |= neq
+    for c in codes:
+        cs = c[order]
+        change |= cs[1:] != cs[:-1]
     starts = np.concatenate([[0], np.flatnonzero(change) + 1])
     ends = np.concatenate([starts[1:], [n]])
     return pdf, starts, ends
@@ -136,10 +140,34 @@ def rollup_tier(
     ts_col: str = "ts",
     token_col: str = "token_len",
     latency_col: str = "latency_us",
-    salt: int = 0,  # kept for API compat; phase-1 partials make it moot
+    salt: int = 0,  # kept for API compat; native partial agg makes it moot
     compression: float = 100.0,
 ) -> DataFrame:
-    """Raw turns → one tier (two-phase, see module docstring)."""
+    """Raw turns → one tier.
+
+    Round-7 shape (guide §2.3 "aggregate before you shuffle" + §4.1):
+    counts/sums/sorted-latency-lists are ONE native Spark aggregation
+    (map-side partial agg in the JVM — the raw 7M-row Arrow round trip of
+    the old pandas phase 1 disappears), and a single mapInPandas finish
+    stage builds the digest blob + quantiles per group with the batch-
+    vectorized helper (``tdigest.batch_digests_from_sorted``). Plan: scan →
+    hash-aggregate (partial) → exchange on the group keys → hash-aggregate
+    (final) → one Python stage over group-grain rows. Was: scan → Arrow →
+    pandas phase 1 → exchange → Arrow → pandas phase 2.
+
+    Digest parity: ``sort_array(collect_list)`` delivers each group's
+    non-null latencies sorted, so unit-weight blobs (every group at fine
+    tier grain, n <= 4·compression) are byte-identical to the old
+    two-phase merge; oversized groups are now digested from ALL their
+    values directly — at least as accurate as merging per-batch partials
+    (the bracket invariants pytest asserts are unchanged).
+
+    Scale note: the exchange carries each latency value once (8 B), vs the
+    old per-(group, upstream-batch) partial blobs — equivalent at fine
+    grain where groups are near-singletons. Coarse tiers over mega-series
+    should be produced by ``reaggregate_tier`` from a finer tier (the
+    engine's documented cascade), which still merges bounded partials.
+    """
     series_keys = list(series_keys)
     secs = TIER_SECONDS[tier]
     binned = df.select(
@@ -151,29 +179,30 @@ def rollup_tier(
 
     keys = [*series_keys, "bin_start"]
     key_schema = _key_schema(binned, series_keys)
-    partial_schema = f"{key_schema}, bin_start timestamp, {_PARTIAL_FIELDS}"
     final_schema = f"{key_schema}, bin_start timestamp, {_FINAL_FIELDS}"
 
-    def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    agg = binned.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.coalesce(F.sum("__tok"), F.lit(0)).cast("long").alias("token_len_sum"),
+        F.count("__lat").alias("n_latency"),
+        F.sort_array(F.collect_list("__lat")).alias("__lats"),
+    )
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .tdigest import batch_digests_from_sorted
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            pdf, starts, ends = _group_slices(pdf, keys)
-            tok = pdf["__tok"].to_numpy(np.float64, na_value=np.nan)
-            lat = pdf["__lat"].to_numpy(np.float64, na_value=np.nan)
-            lat_ok = ~np.isnan(lat)
-            out = pdf.iloc[starts][keys].reset_index(drop=True)
-            out["n_turns"] = (ends - starts).astype("int64")
-            out["token_len_sum"] = np.add.reduceat(np.nan_to_num(tok), starts).astype("int64")
-            out["n_latency"] = np.add.reduceat(lat_ok.astype(np.int64), starts)
-            out["latency_tdigest"] = [
-                fast_bytes_from_sorted(np.sort(lat[s:e][lat_ok[s:e]]), compression)
-                for s, e in zip(starts, ends)
-            ]
+            arrs = [np.asarray(a, dtype=np.float64) for a in pdf["__lats"]]
+            blobs, (p50, p95) = batch_digests_from_sorted(arrs, compression)
+            out = pdf[[*keys, "n_turns", "token_len_sum", "n_latency"]].copy()
+            out["latency_p50"] = p50
+            out["latency_p95"] = p95
+            out["latency_tdigest"] = blobs
             yield out
 
-    partial = binned.mapInPandas(phase1, partial_schema)
-    out = _merge_partials(partial, keys, final_schema, compression)
+    out = agg.mapInPandas(finish, final_schema)
     return out.withColumn("bin_end", F.col("bin_start") + F.expr(f"INTERVAL {secs} SECOND"))
 
 
@@ -187,6 +216,12 @@ def reaggregate_tier(
 
     Verifiable invariant (tested): re-aggregation equals the direct rollup
     of the raw data up to t-digest sketch error; counts/sums are exact.
+
+    Round-7 shape (guide §2.3): counts/sums and blob collection are ONE
+    native Spark aggregation (JVM partial agg, no fine-tier-grain Arrow
+    round trip); the Python stage then merges each group's blob list at
+    COARSE-group grain — ~input/output-ratio fewer rows cross the Python
+    boundary than the old repartition→concat→sort→merge pandas pass.
     """
     series_keys = list(series_keys)
     secs = TIER_SECONDS[to_tier]
@@ -196,8 +231,30 @@ def reaggregate_tier(
     key_schema = _key_schema(df, series_keys)
     final_schema = f"{key_schema}, bin_start timestamp, {_FINAL_FIELDS}"
 
-    partial = df.select(*keys, "n_turns", "token_len_sum", "n_latency", "latency_tdigest")
-    out = _merge_partials(partial, keys, final_schema, compression)
+    agg = df.groupBy(*keys).agg(
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("token_len_sum").alias("token_len_sum"),
+        F.sum("n_latency").alias("n_latency"),
+        F.collect_list("latency_tdigest").alias("__blobs"),
+    )
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            p50s, p95s, blobs = [], [], []
+            for lst in pdf["__blobs"]:
+                blob, (q50, q95) = fast_merge_bytes(lst, compression)
+                blobs.append(blob)
+                p50s.append(q50)
+                p95s.append(q95)
+            out = pdf[[*keys, "n_turns", "token_len_sum", "n_latency"]].copy()
+            out["latency_p50"] = p50s
+            out["latency_p95"] = p95s
+            out["latency_tdigest"] = blobs
+            yield out
+
+    out = agg.mapInPandas(finish, final_schema)
     return out.withColumn("bin_end", F.col("bin_start") + F.expr(f"INTERVAL {secs} SECOND"))
 
 
