@@ -101,15 +101,18 @@ def bm25_top_terms(
     n_docs = df.count()
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     words = df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("term"))
-    # localCheckpoint: the avgdl pre-pass below must execute the
-    # tokenize→explode→tf chain eagerly; without it the final plan would
-    # recompute the same dominant aggregation a second time (same pattern
-    # as dsir_weights' vocab checkpoint).
+    # lazy localCheckpoint: the avgdl pre-pass below materializes the
+    # tokenize→explode→tf chain once; the main plan and the vocabulary
+    # aggregate then reuse the blocks instead of recomputing it (same
+    # pattern as dsir_weights' vocab checkpoint).
     tf = words.groupBy("__id", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint()
-    dl = tf.groupBy("__id").agg(F.sum("tf").alias("dl"))
-    totals = dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
+    ).localCheckpoint(eager=False)
+    # T and N_nonempty in one aggregate job (round 7): sum of tf is the
+    # token total and countDistinct(__id) the non-empty doc count — the
+    # same values the old per-doc dl aggregation produced, without
+    # building that intermediate
+    totals = tf.agg(F.sum("tf"), F.countDistinct("__id")).first()
     avgdl = float(totals[0]) / float(totals[1]) if totals[1] else 1.0
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
 
@@ -123,8 +126,11 @@ def bm25_top_terms(
     den = F.col("tf").cast("double") + F.lit(k1) * norm
     score_q = F.round(idf * (num / den) * F.lit(1e6)).cast("long")
 
+    # dl rides a window over the SAME __id partitioning the rank window
+    # needs (round 7, guide §2.4): one exchange establishes it for both —
+    # the old per-doc aggregate + equi-join re-shuffled tf twice
     scored = (
-        tf.join(dl, "__id")
+        tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("__id")))
         .join(dfreq, "term")
         .withColumn("score_q", score_q)
     )
