@@ -401,9 +401,11 @@ def ann_lsh_pairs_multi(
         F.explode(tables).alias("tb"),
     ).select(id_col, vec_col, "nrm", F.col("tb.table_id").alias("table_id"),
              F.col("tb.bucket").alias("bucket"))
-    # barrier: same dual-consumption + inferred-filter inlining as
-    # ann_lsh_pairs, with T tables of plane folds at stake
-    b = b.localCheckpoint(eager=False)
+    # NOTE (round 7): deliberately NOT checkpointed, unlike ann_lsh_pairs —
+    # the exploded frame carries the full vectors (T rows per vector), so a
+    # materialization barrier costs more than the dual-side bucket-fold
+    # re-evaluation it would save (measured 2.5 s no-ckpt vs 4-6 s ckpt per
+    # fresh invocation at sf1.0)
     l, r = b.alias("l"), b.alias("r")
     cand = (
         l.join(r, ["table_id", "bucket"])
