@@ -33,14 +33,22 @@ def _triad(core: int, reps: int, out):
     b = np.random.default_rng(core).random(N)
     c = np.random.default_rng(core + 1).random(N)
     a = np.empty_like(b)
-    # warmup
-    np.add(b, 3.0 * c, out=a)
+
+    def triad():
+        # fused, no temporary (ADVICE r6): np.add(b, 3.0*c, out=a)
+        # allocated a temp for 3.0*c, making real traffic ~40 B/elem while
+        # the formula assumed 24 — the probe understated bandwidth vs the
+        # STREAM-triad methodology it reproduces
+        np.multiply(c, 3.0, out=a)
+        np.add(a, b, out=a)
+
+    triad()  # warmup
     t0 = time.time()
     for _ in range(reps):
-        np.add(b, 3.0 * c, out=a)
+        triad()
     dt = time.time() - t0
-    # 3 arrays * 8 bytes touched per element per rep
-    out.put(N * 24 * reps / dt / 1e9)
+    # STREAM triad accounting: 3 arrays touched + write-allocate = 32 B/elem
+    out.put(N * 32 * reps / dt / 1e9)
 
 
 def measure(procs: int, reps: int = 10) -> float:

@@ -39,6 +39,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Allow joins to reuse a subset-key co-partitioning (both sides
+        # hash-partitioned on doc_a satisfy a join on (doc_a, doc_b)):
+        # lets jaccard_pairs keep its 62.5M-pair stream un-shuffled by
+        # pre-partitioning both inputs on the leading key (round 7,
+        # guide §2.4). Planner-only setting — results are unaffected;
+        # the engine controls the partitioning of every join that
+        # benefits, so the skew caveat behind the conservative default
+        # does not apply here.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode: driver heap is the only executor memory — size it to

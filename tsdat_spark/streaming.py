@@ -486,6 +486,15 @@ def snapshot_sink(table, batch_df: DataFrame, batch_id: int,
         # A stamp WITHOUT a stream_id predates the scoping (single-stream
         # era): treat it as ours, else upgraded tables lose replay
         # protection for exactly the crash window the guard closes.
+        # KNOWN HAZARD (ADVICE r6): the mirror image — a genuinely NEW
+        # stream started on an upgraded table whose latest streamed
+        # ancestor is a legacy stamp will have its first batches
+        # (batch_id <= legacy stamp) skipped as replays. Before pointing a
+        # new checkpoint at a pre-stream_id table, either start the new
+        # stream's batch ids above the legacy stamp or rewrite legacy
+        # stamps with an explicit stream_id (one snapshot append per
+        # stamp); the engine does not guess which of the two crash/upgrade
+        # scenarios applies.
         stamp_stream = s.summary.get("stream_id")
         if prev is not None and (
             stream_id is None or stamp_stream is None
@@ -562,7 +571,14 @@ def history_dedup_sink(
       bits OR into the driver-held bitmap — O(batch), never O(history).
 
     Within a batch, the keeper is the minimum ``order_col`` row per key
-    (deterministic). Crash replays reuse :func:`snapshot_sink`'s
+    (deterministic).
+
+    NULL-key caveat (ADVICE r6): the composite key is ``concat_ws`` over
+    ``key_cols``, which skips NULLs — a NULL-text row and an
+    empty-string-text row key identically and dedupe against each other,
+    unlike ``bloom_dedup``'s NULL-never-matches contract. Pre-filter or
+    sentinel-encode NULL key columns upstream if that distinction matters
+    for your stream. Crash replays reuse :func:`snapshot_sink`'s
     ``stream_batch_id`` ancestry guard — a replayed batch appends nothing;
     re-ORing its bits is harmless because the bloom only prefilters.
 
@@ -581,7 +597,7 @@ def history_dedup_sink(
 
     from pyspark.sql import Window
 
-    state: dict = {"bloom": None}
+    state: dict = {"bloom": None, "bc": None}
     keys = list(key_cols)
 
     def _key(df: DataFrame):
@@ -606,8 +622,14 @@ def history_dedup_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        # broadcast lifecycle (round 7, ADVICE r6): re-broadcast only when
+        # the bitmap changed since the last batch, and unpersist the
+        # superseded broadcast — a long-running stream previously
+        # accumulated one n_bits/8-byte broadcast per micro-batch
+        if state["bc"] is None:
+            state["bc"] = spark.sparkContext.broadcast(state["bloom"].tobytes())
         flagged = bloom_contains(
-            b, _key(b), state["bloom"].tobytes(), n_hashes=n_hashes
+            b, _key(b), state["bc"], n_hashes=n_hashes
         )
         definite_new = flagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
         candidates = flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
@@ -635,5 +657,9 @@ def history_dedup_sink(
                                 n_bits=n_bits, n_hashes=n_hashes),
                     dtype=np.uint8,
                 )
+                # bitmap changed: retire the old broadcast, next batch
+                # re-broadcasts lazily
+                state["bc"].unpersist()
+                state["bc"] = None
 
     return sink

