@@ -76,8 +76,10 @@ def interpolate_linear(
         .withColumn("__a1", F.lead("__c").over(wo))
         .withColumn("__a2", F.lead("__c", 2).over(wo))
         .withColumn("__npos", F.lead("__pos").over(wo))
-        .withColumn("__first", F.row_number().over(wo) == 1)
         .drop(ts_col)
+        # first row of the series <=> lag(__c) is null (__c itself is a
+        # non-null struct) - avoids a third Window operator for row_number
+        .withColumn("__first", F.col("__b2").isNull())
     )
     k_lo, k_hi = covered_label_range(
         F.col("__pos").cast("long"), F.col("__npos").cast("long"), F.col("__first"), grid
@@ -97,25 +99,33 @@ def interpolate_linear(
     c3p = F.when(before_row, F.col("__c")).otherwise(F.col("__a1"))
     c4p = F.when(before_row, F.col("__a1")).otherwise(F.col("__a2"))
 
-    # candidacy: input bin overlaps [label - range, label + range)
-    cands = F.filter(
-        F.array(c1p, c2p, c3p, c4p),
-        lambda c: c.isNotNull() & (c["e"] > t - F.lit(range_us)) & (c["s"] < t + F.lit(range_us)),
-    )
-
+    # candidacy: input bin overlaps [label - range, label + range).
+    # Two-nearest selection is plain least() over (adist, x, values…) rank
+    # structs instead of filter+transform+array_sort+slice: higher-order
+    # functions evaluate interpreted per label row, while least()/struct
+    # comparisons stay inside whole-stage codegen (round 7, guide §4.1).
+    # Ordering is identical to the array_sort it replaces (same struct
+    # comparison); ties cannot produce equal structs because x = the
+    # sample's midpoint is unique within a series, so the strict `> m1`
+    # mask for the second minimum is exact.
     def _rank_struct(c):
-        return F.struct(
-            F.abs(c["x"] - t).alias("adist"), c["x"].alias("x"),
-            *[c[v].alias(v) for v in value_cols],
+        return F.when(
+            c.isNotNull() & (c["e"] > t - F.lit(range_us)) & (c["s"] < t + F.lit(range_us)),
+            F.struct(
+                F.abs(c["x"] - t).alias("adist"), c["x"].alias("x"),
+                *[c[v].alias(v) for v in value_cols],
+            ),
         )
 
-    near = F.slice(F.array_sort(F.transform(cands, _rank_struct)), 1, 2)
-    lab = lab.select(*series_keys, t.alias("__t"), near.alias("__near"))
+    s1, s2, s3, s4 = (_rank_struct(c) for c in (c1p, c2p, c3p, c4p))
+    m1 = F.least(s1, s2, s3, s4)
+    m2 = F.least(*[F.when(s > m1, s) for s in (s1, s2, s3, s4)])
+    lab = lab.select(*series_keys, t.alias("__t"), m1.alias("__m1"), m2.alias("__m2"))
     t = F.col("__t")
 
-    c1 = F.element_at(F.col("__near"), 1)
-    c2 = F.element_at(F.col("__near"), 2)
-    has2 = F.size(F.col("__near")) >= 2
+    c1 = F.col("__m1")
+    c2 = F.col("__m2")
+    has2 = c2.isNotNull()
     x1, x2 = c1["x"], c2["x"]
     same_side = ((x1 < t) & (x2 < t)) | ((x1 > t) & (x2 > t))
 
