@@ -51,7 +51,13 @@ def tfidf_top_terms(
     words = df.select(
         F.col(id_col).alias("__id"), F.explode(toks).alias("term")
     )
-    tf = words.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # lazy checkpoint (round 7): the vocabulary aggregate and the scored
+    # join both consume tf, and ReuseExchange does NOT deduplicate the two
+    # branches (verified in the formatted plan) — without the barrier the
+    # corpus explode + tf aggregation ran twice
+    tf = words.groupBy("__id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     idf_q = F.round(
         F.log((F.lit(float(n_docs + 1))) / (F.col("df_docs") + F.lit(1)).cast("double"))
