@@ -76,6 +76,9 @@ def line_dedup(
         F.col(id_col).alias("__id"), F.posexplode(line_arr).alias("__idx", "__line")
     )
     key = F.xxhash64("__line") if join_on_hash else F.col("__line")
+    # round 7 note: a localCheckpoint barrier here (one explode instead of
+    # two) measured NEUTRAL at sf1.0 and would materialize corpus-scale
+    # exploded lines at 100 TB — two streaming passes are the better trade
     exploded = exploded.withColumn("__key", key)
     first = exploded.groupBy("__key").agg(
         F.min(F.struct("__id", "__idx")).alias("__first")
