@@ -376,13 +376,20 @@ def ann_lsh_pairs_multi(
     T while candidate volume stays Σ_t same-bucket pairs (linear in T),
     never all-pairs.
 
-    Plan shape: ONE scan computes all T bucket ids as columns (each a
-    codegen'd fold), explodes to (table_id, bucket) — T rows per vector —
-    then a self-equi-join on (table_id, bucket) buckets the candidates and
-    a distinct on the pair key dedups cross-table collisions BEFORE the
-    exact cosine re-rank, so each surviving pair is scored once. Both
-    shuffles are keyed and O(candidates), preserving the O(n)
-    bucketed-join scale story.
+    Plan shape (round 7, guide §8 proxy/payload split): ONE scan computes
+    all T bucket ids as columns (each a codegen'd fold) and explodes them
+    into a NARROW (id, table_id, bucket) frame — no vectors — that is
+    checkpointed (so the fold runs once, not once per join side) and
+    self-equi-joined on (table_id, bucket); the cross-table pair dedup is
+    then a hash-aggregate ``distinct`` over 16-byte id pairs, and the full
+    vectors attach to the surviving pairs afterwards via two id-keyed
+    joins for the exact cosine re-rank. The previous form carried both
+    vectors on every candidate row through the dedup, and because
+    ``first(array<float>)`` cannot hash-aggregate, that dedup planned as
+    partial-SortAggregate → Exchange → final-SortAggregate: every
+    candidate pair sorted twice and shuffled once with ~1.1 KB of vector
+    payload (measured 7.3 s → 2.6 s at sf1.0-scale, 20k vectors). All
+    shuffles remain keyed and O(candidates) — but now at proxy width.
 
     Output: (id_a, id_b, cosine) with id_a < id_b (no bucket column — a
     pair may collide in several tables).
@@ -396,27 +403,31 @@ def ann_lsh_pairs_multi(
         )
         for t in range(n_tables)
     ])
-    b = df.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm"),
-        F.explode(tables).alias("tb"),
-    ).select(id_col, vec_col, "nrm", F.col("tb.table_id").alias("table_id"),
-             F.col("tb.bucket").alias("bucket"))
-    # NOTE (round 7): deliberately NOT checkpointed, unlike ann_lsh_pairs —
-    # the exploded frame carries the full vectors (T rows per vector), so a
-    # materialization barrier costs more than the dual-side bucket-fold
-    # re-evaluation it would save (measured 2.5 s no-ckpt vs 4-6 s ckpt per
-    # fresh invocation at sf1.0)
-    l, r = b.alias("l"), b.alias("r")
-    cand = (
+    buckets = df.select(F.col(id_col), F.explode(tables).alias("tb")).select(
+        id_col, F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket")
+    )
+    # barrier the NARROW frame only (id, table_id, bucket — ~24 B/row):
+    # both join sides and the generate-inferred filters read materialized
+    # longs instead of re-running the T-table fold; the earlier experiment
+    # that measured a checkpoint here as a loss barriered the exploded
+    # frame WITH its vectors (T copies of every vector), which is exactly
+    # the payload/proxy mistake §8 warns about
+    buckets = buckets.localCheckpoint(eager=False)
+    l, r = buckets.alias("l"), buckets.alias("r")
+    pairs = (
         l.join(r, ["table_id", "bucket"])
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("va"), F.col(f"r.{vec_col}").alias("vb"),
-            F.col("l.nrm").alias("na"), F.col("r.nrm").alias("nb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .distinct()
     )
+    base = df.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm"))
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                    F.col("nrm").alias("na"))
+    bb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                     F.col("nrm").alias("nb"))
+    cand = pairs.join(a, "id_a").join(bb, "id_b")
     cos = _cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return cand.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
 
