@@ -80,13 +80,22 @@ def line_dedup(
     # two) measured NEUTRAL at sf1.0 and would materialize corpus-scale
     # exploded lines at 100 TB — two streaming passes are the better trade
     exploded = exploded.withColumn("__key", key)
-    first = exploded.groupBy("__key").agg(
-        F.min(F.struct("__id", "__idx")).alias("__first")
+    # first occurrence = lexicographic min over (id, idx); min(struct)
+    # cannot hash-aggregate (SortAggregate → two full sorts of the
+    # exploded line table), so decompose: per-(line, doc) min idx (hash
+    # agg, makes (key, id) unique), then per-line min doc + min_by its
+    # idx — deterministic because stage one deduplicated the ordering key
+    # (same round-7 rewrite as substring_scrub).
+    per_doc = exploded.groupBy("__key", "__id").agg(F.min("__idx").alias("__mi"))
+    first = per_doc.groupBy("__key").agg(
+        F.min("__id").alias("__fid"),
+        F.min_by("__mi", "__id").alias("__fidx"),
     )
     kept = (
         exploded.join(first, "__key")
         .withColumn(
-            "__keep", F.struct("__id", "__idx") == F.col("__first")
+            "__keep",
+            (F.col("__id") == F.col("__fid")) & (F.col("__idx") == F.col("__fidx")),
         )
     )
     return (

@@ -185,9 +185,11 @@ def substring_scrub(
     ``n_removed`` is the exact size of the union of removed-gram token
     intervals.
 
-    Scale shape: one groupBy on the uniform 64-bit gram hash computing
-    ``(count, min(struct(doc_id, pos)))`` with map-side partials (hot
-    stop-phrase grams collapse before the exchange), one hash-equi join
+    Scale shape: two hash aggregations on the uniform 64-bit gram hash —
+    per-(gram, doc) min position, then per-gram count/first-doc/first-pos
+    (see inline note: the struct-min this replaces could not
+    hash-aggregate) — with map-side partials at both stages (hot
+    stop-phrase grams collapse before each exchange), one hash-equi join
     back, one per-doc window, and a per-doc interval array (bounded by
     document size) consumed by a higher-order filter — no Python UDFs.
     """
@@ -205,15 +207,36 @@ def substring_scrub(
     )
     # round 7: same dual-consumption barrier as substring_dedup
     exploded = _exploded_grams(df, k, id_col, text_col).localCheckpoint(eager=False)
-    first = exploded.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__c"),
-        F.min(F.struct("__id", "__pos")).alias("__first"),
+    # first-occurrence = lexicographic min over (id, pos). A direct
+    # min(struct(__id, __pos)) cannot hash-aggregate (struct agg buffers
+    # are not mutable), so it planned as Sort → SortAggregate → Exchange →
+    # Sort → SortAggregate over the FULL exploded gram table. Decomposed
+    # into two hash aggregations instead: per-(gram, doc) min position
+    # first (makes (h, id) unique, collapsing within-doc repeats map-side),
+    # then per-gram min doc id + min_by(its min-pos, doc id) — min_by is
+    # deterministic here because stage one left one row per (h, id). All
+    # longs → HashAggregate, no sorts; the per-(h, id) partial agg spreads
+    # hot stop-grams across partitions even better than keying by h alone
+    # (sf1.0: the two full sorts of 2.6M gram rows disappear).
+    per_doc = exploded.groupBy("__h", "__id").agg(
+        F.min("__pos").alias("__mp"),
+        F.count(F.lit(1)).alias("__ci"),
     )
+    first = per_doc.groupBy("__h").agg(
+        F.sum("__ci").alias("__c"),
+        F.min("__id").alias("__fid"),
+        F.min_by("__mp", "__id").alias("__fpos"),
+    )
+    # restrict to duplicated grams BEFORE the join (identical result: the
+    # inner join + __c >= 2 filter discards singleton grams either way) —
+    # the join's build side shrinks from every distinct gram to just the
+    # duplicated ones, a stable small broadcast instead of a
+    # threshold-straddling one that AQE flaps on
+    dup_first = first.where(F.col("__c") >= 2)
     removed = (
-        exploded.join(first, "__h")
+        exploded.join(dup_first, "__h")
         .filter(
-            (F.col("__c") >= 2)
-            & (F.struct("__id", "__pos") != F.col("__first"))
+            (F.col("__id") != F.col("__fid")) | (F.col("__pos") != F.col("__fpos"))
         )
         .select("__id", "__pos")
     )
