@@ -108,3 +108,50 @@ def test_fast_paths_match_class_semantics():
     # large group gets compressed
     big = fast_bytes_from_sorted(np.sort(rng.rand(100_000)))
     assert TDigest.from_bytes(big).means.size <= 200
+
+
+def test_batch_merge_blob_lists_parity():
+    """batch_merge_blob_lists == per-group fast_merge_bytes, byte-for-byte,
+    across unit-weight groups, compressed children, empties, singletons,
+    boundary totals, and foreign-compression single blobs (round-7
+    reaggregate fast path)."""
+    import numpy as np
+
+    from tsdat_spark.rollup.tdigest import (
+        batch_merge_blob_lists,
+        fast_bytes_from_sorted,
+        fast_merge_bytes,
+    )
+
+    rng = np.random.default_rng(11)
+    COMP = 100.0
+
+    def grp(sizes, comp=COMP):
+        return [fast_bytes_from_sorted(np.sort(rng.random(s) * 1e3), comp) for s in sizes]
+
+    groups, nlat = [], []
+    for _ in range(300):  # typical coarse groups: many tiny unit children
+        sizes = rng.integers(0, 4, size=int(rng.integers(2, 40)))
+        groups.append(grp(sizes))
+        nlat.append(int(sizes.sum()))
+    for _ in range(20):  # oversized totals / compressed children
+        sizes = rng.integers(50, 800, size=int(rng.integers(3, 10)))
+        groups.append(grp(sizes))
+        nlat.append(int(sizes.sum()))
+    groups += [
+        grp([0]),            # single empty blob
+        grp([0, 0, 0]),      # all empty
+        grp([1]),            # singleton value
+        grp([399, 0]),       # boundary: total 399 + empty child
+        grp([200, 200]),     # total == 4*compression exactly
+        grp([201, 200]),     # total just over the limit
+        grp([5], comp=50.0),  # single blob with FOREIGN compression field
+    ]
+    nlat += [0, 0, 1, 399, 400, 401, 5]
+
+    old = [fast_merge_bytes(g, COMP) for g in groups]
+    blobs, (p50, p95) = batch_merge_blob_lists(groups, np.array(nlat), COMP)
+    for i, (ob, (oq50, oq95)) in enumerate(old):
+        assert blobs[i] == ob, f"group {i}: blob bytes diverged"
+        for a, b in ((oq50, p50[i]), (oq95, p95[i])):
+            assert (a == b) or (np.isnan(a) and np.isnan(b)), f"group {i}: quantile {a} != {b}"

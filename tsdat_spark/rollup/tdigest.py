@@ -215,6 +215,81 @@ def fast_merge_bytes(
     return blob, _quantiles_from_centroids(means, weights, mn, mx, qs)
 
 
+def batch_merge_blob_lists(
+    blob_lists,
+    n_latency,
+    compression: float = 100.0,
+    qs: tuple[float, ...] = (0.5, 0.95),
+):
+    """Merge a BATCH of digest-blob groups (round 7 reaggregate hot path:
+    one group per coarse tier row, ~#fine-bins blobs each — per-group
+    Python is the whole cost).
+
+    ``n_latency[i]`` must be group i's total latency VALUE count (the
+    native aggregate already carries it). The cascade invariant this
+    exploits: every blob this module writes is unit-weight exactly while
+    its group stayed within ``4·compression`` values, and a group whose
+    total centroid count equals its total value count therefore consists
+    ONLY of unit-weight children (compression can merge centroids, never
+    split, and all weights are sums of ones). For such groups the merged
+    digest is definitionally the unit-weight digest of the sorted
+    concatenated means, so the whole group collapses into
+    :func:`batch_digests_from_sorted`'s vectorized path — no per-group
+    argsort/pack/quantile Python. Everything else (compressed children,
+    oversized totals, empty groups, count mismatches from foreign blobs)
+    falls back to :func:`fast_merge_bytes` unchanged, so the result is
+    byte-identical to calling it per group (parity-tested).
+
+    Returns (blobs list[bytes], per-q list of float64 arrays).
+    """
+    N = len(blob_lists)
+    hs = _HEADER.size
+    limit = 4 * compression
+    comp_bytes = struct.pack("<d", compression)
+    blobs_out: list[bytes] = [b""] * N
+    out_q = [np.full(N, np.nan) for _ in qs]
+    fast_arrs, fast_idx = [], []
+    for i in range(N):
+        lst = blob_lists[i]
+        nl = int(n_latency[i])
+        if 0 < nl <= limit:
+            tot = 0
+            for b in lst:
+                tot += len(b)
+            tot = (tot - hs * len(lst)) >> 4
+            if tot == nl and (
+                len(lst) != 1 or lst[0][4:12] == comp_bytes
+            ):
+                # single-blob groups additionally require the header's
+                # compression field to equal ours: fast_merge_bytes
+                # returns a lone blob verbatim, so a byte-exact rebuild
+                # must not rewrite a foreign compression value
+                vals = np.empty(tot)
+                pos = 0
+                for b in lst:
+                    n = (len(b) - hs) >> 4
+                    if n:
+                        vals[pos : pos + n] = np.frombuffer(
+                            b, dtype="<f8", count=n, offset=hs
+                        )
+                        pos += n
+                vals.sort()
+                fast_arrs.append(vals)
+                fast_idx.append(i)
+                continue
+        blob, qvals = fast_merge_bytes(lst, compression, qs)
+        blobs_out[i] = blob
+        for j in range(len(qs)):
+            out_q[j][i] = qvals[j]
+    if fast_arrs:
+        fblobs, fq = batch_digests_from_sorted(fast_arrs, compression, qs)
+        for k, i in enumerate(fast_idx):
+            blobs_out[i] = fblobs[k]
+            for j in range(len(qs)):
+                out_q[j][i] = fq[j][k]
+    return blobs_out, out_q
+
+
 def _k(q: np.ndarray, compression: float) -> np.ndarray:
     # k1 scale; the δ/π constant makes the total k-span equal δ (asin spans
     # [-π/2, π/2]), so compression=100 yields ~100 centroids.

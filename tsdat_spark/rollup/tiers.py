@@ -239,15 +239,19 @@ def reaggregate_tier(
     )
 
     def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .tdigest import batch_merge_blob_lists
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            p50s, p95s, blobs = [], [], []
-            for lst in pdf["__blobs"]:
-                blob, (q50, q95) = fast_merge_bytes(lst, compression)
-                blobs.append(blob)
-                p50s.append(q50)
-                p95s.append(q95)
+            # batch merge (round 7): groups whose total value count is
+            # within the unit-weight limit ride the vectorized
+            # sorted-values path; the rest fall back to per-group
+            # fast_merge_bytes inside the helper — byte-identical either
+            # way (see batch_merge_blob_lists)
+            blobs, (p50s, p95s) = batch_merge_blob_lists(
+                list(pdf["__blobs"]), pdf["n_latency"].to_numpy(), compression
+            )
             out = pdf[[*keys, "n_turns", "token_len_sum", "n_latency"]].copy()
             out["latency_p50"] = p50s
             out["latency_p95"] = p95s
