@@ -341,7 +341,31 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("__ni"))
     )
-    l, r = sizes.repartition(n_shuffle, id_col).alias("l"), sizes.alias("r")
+    # score the INTERSECTING pairs before the all-pairs join: Spark's
+    # round() on double allocates a BigDecimal per row (round-half-up on
+    # the shortest decimal representation), which measured ~6 s of the
+    # final stage at sf1.0 when evaluated over all 62.5M pairs — but
+    # zero-overlap pairs need no arithmetic at all, because
+    # round(0/|A∪B|, 6) is exactly 0.0. So the division+round runs only
+    # over the ~1% of pairs that share a shingle (attached to their sizes
+    # by two doc-grain joins), and the all-pairs stream — now just
+    # (doc_a, doc_b) proxy rows — takes a coalesce(jaccard, 0.0).
+    # Bit-identical: the nonzero branch is the same expression over the
+    # same doubles, and Round(0.0, 6) == 0.0 exactly.
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("__nsh").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__nsh").alias("__nb"))
+    ni = F.col("__ni")
+    jac = ni.cast("double") / (F.col("__na") + F.col("__nb") - ni)
+    # sizes attach broadcast (doc-grain, same bound as the pair-frame
+    # broadcast below) so inter keeps its doc_a partitioning and the
+    # final join stays exchange-free on the pair stream
+    inter_scored = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("__j"))
+    )
+    ids = base.select(F.col(id_col), *[F.col(b) for b in blocks])
+    l, r = ids.repartition(n_shuffle, id_col).alias("l"), ids.alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     joined = (
         l.join(F.broadcast(r), blocks, "inner").where(cond)
@@ -351,13 +375,9 @@ def jaccard_pairs(
     pairs = joined.select(
         F.col(f"l.{id_col}").alias("doc_a"),
         F.col(f"r.{id_col}").alias("doc_b"),
-        F.col("l.__nsh").alias("__na"),
-        F.col("r.__nsh").alias("__nb"),
     )
-    out = pairs.join(inter.hint("shuffle_hash"), ["doc_a", "doc_b"], "left")
-    ni = F.coalesce(F.col("__ni"), F.lit(0))
-    jac = ni.cast("double") / (F.col("__na") + F.col("__nb") - ni)
-    out = out.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    out = pairs.join(inter_scored.hint("shuffle_hash"), ["doc_a", "doc_b"], "left")
+    out = out.select("doc_a", "doc_b", F.coalesce("__j", F.lit(0.0)).alias("jaccard"))
     return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
