@@ -626,7 +626,12 @@ def q_contamination_overlap(spark, sf_dir):
     fp = fp.localCheckpoint(eager=False)
     rare = (
         fp.groupBy("fingerprint")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        # winnow fingerprints are per-doc distinct (explode of
+        # array_distinct), so count(1) == countDistinct(doc_id) exactly —
+        # and skips the distinct-expand double aggregation pass over the
+        # fingerprint table (round 7; same invariant the pair aggregation
+        # below already relies on)
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= CONTAM_MAX_DF)
         .select("fingerprint")
     )
