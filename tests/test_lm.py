@@ -117,3 +117,22 @@ def test_score_unseen_corpus_with_trained_lm(spark):
     r = {x["doc_id"]: x for x in score_perplexity(new, uni, bi, T, V).collect()}
     assert r[100]["nll_per_token_milli"] < r[101]["nll_per_token_milli"]
     assert r[101]["n_tokens"] == 3 and r[101]["nll_micro"] > 0
+
+
+def test_shared_tokenized_frame_parity(spark):
+    """train+score over one shared pre-tokenized (checkpointed) frame —
+    the q_lm_perplexity shape that tokenizes the corpus once instead of
+    three times — is row-identical to the per-call tokenization path."""
+    from tsdat_spark.text.lm import _tokenized
+
+    d = _df(spark)
+    uni_a, bi_a, T_a, V_a = train_bigram_lm(d)
+    a = score_perplexity(d, uni_a, bi_a, T_a, V_a)
+
+    dt = _tokenized(d.select("doc_id", "text")).select(
+        "doc_id", "ws").localCheckpoint(eager=False)
+    uni_b, bi_b, T_b, V_b = train_bigram_lm(d, tokenized=dt)
+    b = score_perplexity(d, uni_b, bi_b, T_b, V_b, tokenized=dt)
+
+    assert (T_a, V_a) == (T_b, V_b)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

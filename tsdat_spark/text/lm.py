@@ -56,12 +56,20 @@ def _tokenized(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def train_bigram_lm(docs: DataFrame, text_col: str = "text",
                     vocab_limit: int | None = None,
-                    min_bigram_count: int = 1):
+                    min_bigram_count: int = 1,
+                    tokenized: DataFrame | None = None):
     """(unigrams, bigrams, T, V): corpus gram counts. ``vocab_limit``
     keeps the top-V tokens (count desc, token asc tie-break) and folds the
     tail into the OOV token ``"\\x00oov"`` — the bounded-vocabulary mode
-    that makes the tables broadcastable at any corpus size."""
-    d = _tokenized(docs, text_col)
+    that makes the tables broadcastable at any corpus size.
+
+    ``tokenized``: optional pre-tokenized frame (``_tokenized(docs)`` or a
+    materialized equivalent carrying ``ws``). Training reads the corpus
+    twice (unigram and bigram explodes) and scoring a third time, so a
+    caller running train+score on the same corpus should tokenize once,
+    ``localCheckpoint`` it, and pass it to both (guide §2.3: the
+    tokenize+lower pass is the repeated heavy map)."""
+    d = tokenized if tokenized is not None else _tokenized(docs, text_col)
     toks = d.select(F.explode("ws").alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     pairs = d.select(F.explode(F.expr(
@@ -98,14 +106,17 @@ def train_bigram_lm(docs: DataFrame, text_col: str = "text",
 def score_perplexity(docs: DataFrame, uni: DataFrame, bi: DataFrame,
                      T: int, V: int, id_col: str = "doc_id",
                      text_col: str = "text",
-                     broadcast_grams: bool = False) -> DataFrame:
+                     broadcast_grams: bool = False,
+                     tokenized: DataFrame | None = None) -> DataFrame:
     """Per-document (id, n_tokens, nll_micro, nll_per_token_milli):
     nll_micro = -Σ round(ln(p)·1e6), an exact BIGINT (see module doc).
     ``broadcast_grams=True`` marks both gram tables broadcast — the
-    bounded-vocabulary production path (zero-shuffle scoring)."""
+    bounded-vocabulary production path (zero-shuffle scoring).
+    ``tokenized``: optional pre-tokenized frame shared with
+    :func:`train_bigram_lm` (see its docstring)."""
     if broadcast_grams:
         uni, bi = F.broadcast(uni), F.broadcast(bi)
-    d = _tokenized(docs, text_col)
+    d = tokenized if tokenized is not None else _tokenized(docs, text_col)
     tok = d.select(
         F.col(id_col),
         F.explode(F.expr(
@@ -134,7 +145,9 @@ def score_perplexity(docs: DataFrame, uni: DataFrame, bi: DataFrame,
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         (-F.sum("lp_micro")).alias("nll_micro"),
     )
-    base = docs.where(F.col(text_col).isNotNull()).select(id_col)
+    # identical row set to docs.where(text notNull).select(id): d IS that
+    # frame plus the ws column (projection pruning drops ws on this branch)
+    base = d.select(id_col)
     out = base.join(agg, id_col, "left").select(
         id_col,
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
