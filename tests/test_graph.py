@@ -91,3 +91,16 @@ def test_contraction_reversed_id_chain(spark):
     got = {r["node"]: r["cluster_id"]
            for r in connected_components_contraction(edges).collect()}
     assert set(got.values()) == {500}
+
+
+def test_components_duplicate_caller_nodes(spark):
+    """Duplicate ids in the caller node list must not duplicate output
+    rows (the active-subgraph path dedupes the universe before the
+    isolated-node anti-join, as _all_nodes always did)."""
+    edges = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (5,), (5,), (6,)], "doc_id bigint")
+    rows = connected_components(edges, nodes=nodes).collect()
+    assert len(rows) == 4
+    got = {r["node"]: r["cluster_id"] for r in rows}
+    assert got == {1: 1, 2: 1, 5: 5, 6: 6}
